@@ -1,0 +1,119 @@
+"""Heatmap peak decoding with log-Taylor sub-pixel refinement.
+
+TPU-native replacement for the reference's CPU decode tail
+(reference: inference.py:22-94 — ``get_max_preds`` argmax extraction plus the
+per-keypoint Python loop over ``my_taylor``; consumed via ``get_final`` at
+demo.py:191 / val.py:168).  The reference runs this one keypoint at a time on
+the host; here the whole (B, K) batch decodes as one fused XLA program:
+argmax over the flattened map, a 5-point log-derivative stencil gathered with
+static shapes, and branch conditions expressed as ``where`` masks.
+
+Semantics match ``my_taylor`` (inference.py:75-94) exactly:
+
+* heatmap floored at 1e-10 before ``log`` (``get_final``, inference.py:141);
+* offsets only applied when ``1 < px < W-2`` and ``1 < py < H-2``;
+* offsets only applied when ``hxx != 0 and hyy != 0``;
+* offsets only applied when ``offset_x < 1 and offset_y < 1`` (the reference
+  checks the *signed* value, not the absolute value — reproduced here).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def argmax_peaks(heatmaps: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched argmax peak extraction.
+
+    heatmaps: (..., H, W).  Returns (coords (..., 2) float32 as (x, y),
+    maxvals (...,)).  Matches get_max_preds (inference.py:22-51) / the
+    torch.max pair at demo.py:173-186 (row-major flat argmax: x = idx % W).
+    """
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    flat = heatmaps.reshape(heatmaps.shape[:-2] + (h * w,))
+    idx = jnp.argmax(flat, axis=-1)
+    maxvals = jnp.max(flat, axis=-1)
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    return jnp.stack([x, y], axis=-1), maxvals
+
+
+def _gather_log(flat_log: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
+                dy: int, dx: int, h: int, w: int) -> jnp.ndarray:
+    """Gather log-heatmap values at (py+dy, px+dx), indices clipped to bounds.
+
+    flat_log: (..., H*W); py/px: (...,) int32.  Clipping is safe because the
+    stencil result is masked out at borders anyway.
+    """
+    yy = jnp.clip(py + dy, 0, h - 1)
+    xx = jnp.clip(px + dx, 0, w - 1)
+    return jnp.take_along_axis(flat_log, (yy * w + xx)[..., None],
+                               axis=-1)[..., 0]
+
+
+def taylor_refine(heatmaps: jnp.ndarray, coords: jnp.ndarray,
+                  eps: float = 1e-10) -> jnp.ndarray:
+    """Log-Taylor sub-pixel refinement (vectorized ``my_taylor``).
+
+    heatmaps: (..., H, W); coords: (..., 2) float (x, y) at integer peaks.
+    Returns refined coords (..., 2).
+    """
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    log_hm = jnp.log(jnp.maximum(heatmaps, eps))
+    flat = log_hm.reshape(log_hm.shape[:-2] + (h * w,))
+    px = coords[..., 0].astype(jnp.int32)
+    py = coords[..., 1].astype(jnp.int32)
+
+    def g(dy, dx):
+        return _gather_log(flat, py, px, dy, dx, h, w)
+
+    c = g(0, 0)
+    hx = 0.5 * (g(0, 1) - g(0, -1))
+    hy = 0.5 * (g(1, 0) - g(-1, 0))
+    hxx = 0.25 * (g(0, 2) - 2.0 * c + g(0, -2))
+    hyy = 0.25 * (g(2, 0) - 2.0 * c + g(-2, 0))
+
+    interior = ((px > 1) & (px < w - 2) & (py > 1) & (py < h - 2))
+    nonzero = (hxx != 0.0) & (hyy != 0.0)
+    safe_hxx = jnp.where(hxx == 0.0, 1.0, hxx)
+    safe_hyy = jnp.where(hyy == 0.0, 1.0, hyy)
+    off_x = -hx / safe_hxx
+    off_y = -hy / safe_hyy
+    # Reference gates on the signed offsets being < 1 (inference.py:92).
+    in_range = (off_x < 1.0) & (off_y < 1.0)
+    apply = interior & nonzero & in_range
+    offset = jnp.stack([off_x, off_y], axis=-1)
+    return coords + jnp.where(apply[..., None], offset, 0.0)
+
+
+def decode_heatmaps(heatmaps: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused argmax + log-Taylor decode.
+
+    heatmaps: (..., H, W) -> (coords (..., 2), maxvals (...,)).
+    One XLA program replacing the reference's GPU->CPU sync + Python loop
+    (demo.py:173-191).
+    """
+    coords, maxvals = argmax_peaks(heatmaps)
+    return taylor_refine(heatmaps, coords), maxvals
+
+
+def select_confident(maxvals: jnp.ndarray, threshold: float = 0.6,
+                     min_count: int = 0) -> jnp.ndarray:
+    """Keypoint selection mask replicating the top-``large_k`` semantics.
+
+    The reference computes ``large_k = #(maxvals > threshold)`` (optionally
+    floored at ``min_count``, val.py:172-175) then takes the ``large_k``
+    most-confident keypoints — which is exactly {i : maxval_i > threshold}
+    plus, if needed, the highest-confidence remainder up to ``min_count``.
+    Returns a boolean mask with static shape (jit-friendly: downstream
+    solvers consume masks/weights instead of gathered subsets).
+
+    maxvals: (..., K) -> mask (..., K) bool.
+    """
+    above = maxvals > threshold
+    if min_count <= 0:
+        return above
+    k = maxvals.shape[-1]
+    order = jnp.argsort(-maxvals, axis=-1)
+    rank = jnp.argsort(order, axis=-1)  # rank[i] = position of i in descending sort
+    return above | (rank < min(min_count, k))
