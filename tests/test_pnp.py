@@ -1,0 +1,209 @@
+"""PnP solver stack tests.
+
+Follows the verification idiom of the reference's Ceres self-test
+(lib/utils/extend_utils/src/uncertainty_pnp.cpp:98-156): generate a random
+pose, project synthetic 3D points, optionally perturb, re-solve, and compare
+against the ground-truth pose.  Cross-validated against cv2.solvePnP where
+applicable, and against the hardcoded 29-point fixture from pnp.py:98-155.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as Rot
+
+from esa_pose_estimation_tpu.core import camera
+from esa_pose_estimation_tpu.ops import epnp as epnp_mod
+from esa_pose_estimation_tpu.ops import pnp as pnp_mod
+
+SPEED_K32 = jnp.asarray(camera.SPEED_K, jnp.float32)
+
+
+def synthetic_problem(n=30, seed=0, noise_px=0.0, spread=0.5, depth=10.0):
+    rng = np.random.default_rng(seed)
+    pts3d = rng.uniform(-spread, spread, size=(n, 3))
+    R = Rot.random(random_state=rng).as_matrix()
+    t = np.array([rng.uniform(-1, 1), rng.uniform(-1, 1),
+                  depth + rng.uniform(-2, 2)])
+    cam = pts3d @ R.T + t
+    uv = cam[:, :2] / cam[:, 2:3]
+    uv = uv * [camera.SPEED_K[0, 0], camera.SPEED_K[1, 1]] + \
+        [camera.SPEED_K[0, 2], camera.SPEED_K[1, 2]]
+    uv = uv + rng.normal(scale=noise_px, size=uv.shape)
+    return (pts3d.astype(np.float32), uv.astype(np.float32),
+            R.astype(np.float32), t.astype(np.float32))
+
+
+def pose_errors(R_est, t_est, R_gt, t_gt):
+    t_err = np.linalg.norm(np.asarray(t_est) - t_gt)
+    cosang = (np.trace(np.asarray(R_est) @ R_gt.T) - 1) / 2
+    ang = np.degrees(np.arccos(np.clip(cosang, -1, 1)))
+    return t_err, ang
+
+
+class TestEPnP:
+    def test_exact_correspondences(self):
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=1)
+        R, t = epnp_mod.epnp_single(jnp.asarray(p3), jnp.asarray(p2), SPEED_K32)
+        t_err, ang = pose_errors(R, t, R_gt, t_gt)
+        assert t_err < 5e-3, t_err
+        assert ang < 0.1, ang
+
+    def test_noisy(self):
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=2, noise_px=1.0)
+        R, t = epnp_mod.epnp_single(jnp.asarray(p3), jnp.asarray(p2), SPEED_K32)
+        t_err, ang = pose_errors(R, t, R_gt, t_gt)
+        assert t_err < 0.1, t_err
+        assert ang < 1.5, ang
+
+    def test_weight_mask_excludes_outliers(self):
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=3)
+        p2_corrupt = p2.copy()
+        p2_corrupt[:5] += 300.0  # gross outliers
+        w = np.ones(30, np.float32)
+        w[:5] = 0.0
+        R, t = epnp_mod.epnp_single(jnp.asarray(p3), jnp.asarray(p2_corrupt),
+                                    SPEED_K32, jnp.asarray(w))
+        t_err, ang = pose_errors(R, t, R_gt, t_gt)
+        assert t_err < 5e-3 and ang < 0.1
+
+    def test_matches_cv2_quality(self):
+        import cv2
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=4, noise_px=0.5)
+        _, rv, tv = cv2.solvePnP(p3.astype(np.float64), p2.astype(np.float64),
+                                 camera.SPEED_K, np.zeros(5),
+                                 flags=cv2.SOLVEPNP_EPNP)
+        R_cv, _ = cv2.Rodrigues(rv)
+        cv_t_err, cv_ang = pose_errors(R_cv, tv[:, 0], R_gt, t_gt)
+        R, t = epnp_mod.epnp_single(jnp.asarray(p3), jnp.asarray(p2), SPEED_K32)
+        t_err, ang = pose_errors(R, t, R_gt, t_gt)
+        # within 2x of cv2's error (both tiny)
+        assert t_err < max(2 * cv_t_err, 0.02), (t_err, cv_t_err)
+        assert ang < max(2 * cv_ang, 0.2), (ang, cv_ang)
+
+    def test_batched_matches_single(self):
+        # vmapped eigh lowers slightly differently than the single-problem
+        # path, so compare both against ground truth plus a loose cross-check.
+        probs = [synthetic_problem(seed=s) for s in range(4)]
+        p3 = jnp.asarray(np.stack([p[0] for p in probs]))
+        p2 = jnp.asarray(np.stack([p[1] for p in probs]))
+        Rb, tb = epnp_mod.epnp(p3, p2, SPEED_K32)
+        for i, (a3, a2, R_gt, t_gt) in enumerate(probs):
+            Rs, ts = epnp_mod.epnp_single(jnp.asarray(a3), jnp.asarray(a2),
+                                          SPEED_K32)
+            for Rx, tx in ((Rb[i], tb[i]), (Rs, ts)):
+                t_err, ang = pose_errors(Rx, tx, R_gt, t_gt)
+                assert t_err < 5e-3 and ang < 0.1, (i, t_err, ang)
+            np.testing.assert_allclose(np.asarray(Rb[i]), np.asarray(Rs),
+                                       atol=2e-3)
+
+    def test_reference_fixture(self):
+        # pnp.py:98-155 fixture: 29 correspondences under the LINEMOD camera.
+        # We don't know the GT pose; require a small mean reprojection error.
+        ref = np.load('tests/fixtures/pnp_fixture.npz')
+        p3, p2 = ref['p3d'].astype(np.float32), ref['p2d'].astype(np.float32)
+        K = jnp.asarray(camera.LINEMOD_K, jnp.float32)
+        R, t = epnp_mod.epnp_single(jnp.asarray(p3), jnp.asarray(p2), K)
+        rv, t2, _ = pnp_mod.lm_refine_single(
+            jnp.asarray(p3), jnp.asarray(p2), jnp.ones(len(p3), jnp.float32),
+            K, camera.rotmat_to_rvec(R), t)
+        errs = epnp_mod.reprojection_errors(
+            jnp.asarray(p3), jnp.asarray(p2), camera.rodrigues(rv), t2, K)
+        assert float(jnp.mean(errs)) < 3.0, float(jnp.mean(errs))
+
+
+class TestLMRefine:
+    def test_converges_from_perturbed_init(self):
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=5)
+        rv_gt = Rot.from_matrix(R_gt).as_rotvec()
+        rv0 = jnp.asarray(rv_gt + 0.1, jnp.float32)
+        t0 = jnp.asarray(t_gt + np.array([0.3, -0.2, 0.5]), jnp.float32)
+        w = jnp.ones(30, jnp.float32)
+        rv, t, cost = pnp_mod.lm_refine_single(
+            jnp.asarray(p3), jnp.asarray(p2), w, SPEED_K32, rv0, t0)
+        t_err, ang = pose_errors(camera.rodrigues(rv), t, R_gt, t_gt)
+        assert t_err < 1e-3, t_err
+        assert ang < 0.05, ang
+        assert float(cost) < 1e-8
+
+    def test_confidence_weighting_downweights_bad_points(self):
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=6)
+        p2n = p2.copy()
+        p2n[:3] += 40.0  # corrupt three points
+        conf = np.ones(30, np.float32)
+        conf[:3] = 0.05  # low heatmap confidence on the corrupted ones
+        R0, t0 = epnp_mod.epnp_single(jnp.asarray(p3), jnp.asarray(p2n),
+                                      SPEED_K32,
+                                      jnp.asarray((conf > 0.5).astype(np.float32)))
+        R, t = pnp_mod.lm_refine(jnp.asarray(p3), jnp.asarray(p2n),
+                                 jnp.asarray(conf), SPEED_K32, R0, t0)
+        t_err_w, ang_w = pose_errors(R, t, R_gt, t_gt)
+        R2, t2 = pnp_mod.lm_refine(jnp.asarray(p3), jnp.asarray(p2n),
+                                   jnp.ones(30, jnp.float32), SPEED_K32, R0, t0)
+        t_err_u, _ = pose_errors(R2, t2, R_gt, t_gt)
+        assert t_err_w < t_err_u
+        assert t_err_w < 0.01 and ang_w < 0.2
+
+
+class TestRansac:
+    def test_rejects_outliers(self):
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=7, noise_px=0.5)
+        p2c = p2.copy()
+        outl = [1, 8, 15, 22, 27]
+        p2c[outl] += np.array([150.0, -90.0])
+        res = pnp_mod.ransac_epnp_single(
+            jnp.asarray(p3), jnp.asarray(p2c), SPEED_K32,
+            jax.random.PRNGKey(0))
+        t_err, ang = pose_errors(res.R, res.t, R_gt, t_gt)
+        assert t_err < 0.05, t_err
+        assert ang < 0.5, ang
+        inl = np.asarray(res.inliers)
+        assert not inl[outl].any()
+        assert inl.sum() >= 20
+
+    def test_clean_data(self):
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=8)
+        res = pnp_mod.ransac_epnp_single(
+            jnp.asarray(p3), jnp.asarray(p2), SPEED_K32, jax.random.PRNGKey(1))
+        t_err, ang = pose_errors(res.R, res.t, R_gt, t_gt)
+        assert t_err < 5e-3 and ang < 0.1
+        assert np.asarray(res.inliers).sum() == 30
+
+    def test_batched(self):
+        probs = [synthetic_problem(seed=s, noise_px=0.3) for s in range(3)]
+        p3 = jnp.asarray(np.stack([p[0] for p in probs]))
+        p2 = jnp.asarray(np.stack([p[1] for p in probs]))
+        res = pnp_mod.ransac_epnp(p3, p2, SPEED_K32, jax.random.PRNGKey(2))
+        assert res.R.shape == (3, 3, 3) and res.t.shape == (3, 3)
+        for i in range(3):
+            t_err, ang = pose_errors(res.R[i], res.t[i], probs[i][2], probs[i][3])
+            assert t_err < 0.05 and ang < 0.5
+
+
+class TestSolvePose:
+    def test_full_pipeline_speed_score(self):
+        # End-to-end: keypoints with ~0.7px noise (our decoder's regime),
+        # SPEED pose score = ||dt||/||t|| + 2 arccos |<q_pred, q_gt>|.
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=9, noise_px=0.7)
+        conf = jnp.asarray(np.random.default_rng(0).uniform(0.7, 1.0, 30),
+                           jnp.float32)
+        R, t = pnp_mod.solve_pose(jnp.asarray(p3), jnp.asarray(p2), conf,
+                                  SPEED_K32, jax.random.PRNGKey(3))
+        q_pred = np.asarray(camera.rotmat_to_quat(R))
+        q_gt = Rot.from_matrix(R_gt).as_quat()[[3, 0, 1, 2]]
+        score_t = np.linalg.norm(np.asarray(t) - t_gt) / np.linalg.norm(t_gt)
+        score_r = 2 * np.arccos(min(abs(np.dot(q_pred, q_gt)), 1.0))
+        assert score_t < 2e-3, score_t
+        assert score_r < 5e-3, score_r
+
+
+@pytest.fixture(scope='session', autouse=True)
+def _make_fixture(tmp_path_factory):
+    """Materialize the reference pnp.py:98-155 fixture once."""
+    import os
+    path = 'tests/fixtures/pnp_fixture.npz'
+    if not os.path.exists(path):
+        os.makedirs('tests/fixtures', exist_ok=True)
+        from tests.fixtures.pnp_points import P2D, P3D
+        np.savez(path, p3d=P3D, p2d=P2D)
