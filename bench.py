@@ -1,0 +1,100 @@
+"""End-to-end throughput benchmark (run on real TPU by the driver).
+
+Measures the full serving pipeline on the flagship model at the reference
+operating point (128x128 grayscale crops, 30 keypoints):
+
+  crop(1920x1200 frame) -> normalize -> HRNet-W32+CBAM forward (bf16) ->
+  fused peak decode + log-Taylor subpixel -> confidence-weighted
+  RANSAC-EPnP + LM pose solve
+
+and prints ONE JSON line {metric, value, unit, vs_baseline}.
+
+Baseline: the reference eval loop runs 0.205 s/image on an RTX 3080
+(BASELINE.md; main.log:6433) == 4.878 img/s; vs_baseline is the speedup
+over that number.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_S = 1.0 / 0.205
+
+
+def build_pipeline(batch_size: int):
+    from esa_pose_estimation_tpu.core import camera
+    from esa_pose_estimation_tpu.models import HRNet
+    from esa_pose_estimation_tpu.ops import crop as crop_ops
+    from esa_pose_estimation_tpu.ops import peak as peak_ops
+    from esa_pose_estimation_tpu.ops import pnp as pnp_mod
+    from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+    model = HRNet(cfg_mod.hrnet_esa(), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 128, 128, 1)), train=False)
+    K = jnp.asarray(camera.SPEED_K, jnp.float32)
+
+    def pipeline(variables, frames, bboxes, points_3d, key):
+        crops, rates, origins = crop_ops.crop_resize(frames, bboxes, 128)
+        x = crop_ops.normalize(crops)[..., None]
+        hm = model.apply(variables, x, train=False)          # (B,128,128,30)
+        hm = jnp.transpose(hm, (0, 3, 1, 2))                 # (B,30,128,128)
+        coords, maxvals = peak_ops.decode_heatmaps(hm)
+        sel = peak_ops.select_confident(maxvals, 0.6, min_count=24)
+        uncropped = coords / rates[:, None, None] + \
+            origins[:, None, :].astype(jnp.float32)
+        p3 = jnp.broadcast_to(points_3d, (frames.shape[0],) + points_3d.shape)
+        init = pnp_mod.ransac_epnp(p3, uncropped, K, key, valid=sel,
+                                   n_hypotheses=32, lm_iters=8)
+        w = jnp.where(sel, maxvals, 0.0)
+        R, t = pnp_mod.lm_refine(p3, uncropped, w, K, init.R, init.t, iters=10)
+        return R, t
+
+    return model, variables, jax.jit(pipeline), K
+
+
+def main():
+    from esa_pose_estimation_tpu.data import synthetic
+
+    batch_size = 64
+    n_iters = 10
+    pts = synthetic.spacecraft_points()
+
+    # Pre-generate input frames on device (input generation is not the
+    # system under test; frames stay in HBM like a deployed ingest queue).
+    keys = jax.random.split(jax.random.PRNGKey(7), batch_size)
+    samples = jax.jit(
+        jax.vmap(lambda k: synthetic.make_sample(k, pts))
+    )(keys)
+    frames = samples.image.block_until_ready()
+    bboxes = samples.bbox
+
+    model, variables, pipeline, K = build_pipeline(batch_size)
+
+    key = jax.random.PRNGKey(0)
+    # warmup/compile
+    R, t = pipeline(variables, frames, bboxes, pts, key)
+    R.block_until_ready()
+
+    start = time.perf_counter()
+    for i in range(n_iters):
+        R, t = pipeline(variables, frames, bboxes, pts,
+                        jax.random.fold_in(key, i))
+    R.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    img_per_s = batch_size * n_iters / elapsed
+    print(json.dumps({
+        'metric': 'end-to-end images/sec/chip (crop+HRNet+decode+PnP)',
+        'value': round(img_per_s, 2),
+        'unit': 'img/s',
+        'vs_baseline': round(img_per_s / BASELINE_IMG_PER_S, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,121 @@
+"""Synthetic SPEED-like data generation.
+
+The real SPEED dataset (12k 1920x1200 grayscale renders + poses) is not
+shipped; this module generates statistically similar samples end-to-end on
+device so training, evaluation, and benchmarking run without external data:
+
+* a fixed 30-point "spacecraft" model (deterministic, like the reference's
+  precomputed ``des['sift3d']`` keypoints from data/train.pkl,
+  data_load4.py:90-101);
+* random poses from the SPEED distribution (depth ~3..30 m, uniform
+  rotation — cf. lib/utils/render_utils.py pose statistics);
+* projected keypoints + rendered Gaussian-blob imagery standing in for the
+  spacecraft appearance.
+
+Everything is pure-JAX and jit/vmap friendly, so the synthetic pipeline
+doubles as the load generator for throughput benchmarks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from esa_pose_estimation_tpu.core import camera
+from esa_pose_estimation_tpu.ops import crop as crop_ops
+from esa_pose_estimation_tpu.ops import heatmap as heatmap_ops
+
+NUM_KEYPOINTS = 30
+
+
+def spacecraft_points(n: int = NUM_KEYPOINTS, extent: float = 0.45,
+                      seed: int = 1234) -> jnp.ndarray:
+    """Deterministic pseudo-spacecraft 3D keypoints (n, 3), metres."""
+    key = jax.random.PRNGKey(seed)
+    pts = jax.random.uniform(key, (n, 3), minval=-extent, maxval=extent)
+    # stretch one axis (solar panel-ish asymmetry)
+    return pts * jnp.array([1.3, 1.0, 0.6])
+
+
+class Sample(NamedTuple):
+    image: jnp.ndarray        # (H, W) full-frame float32 [0, 255]
+    bbox: jnp.ndarray         # (4,) [x1, y1, x2, y2]
+    keypoints_2d: jnp.ndarray  # (K, 2) full-frame pixels
+    quat: jnp.ndarray         # (4,) (w, x, y, z)
+    trans: jnp.ndarray        # (3,)
+
+
+def random_pose(key: jax.Array, min_depth: float = 5.0,
+                max_depth: float = 30.0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform random quaternion + SPEED-plausible translation."""
+    kq, kt, kd = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (4,))
+    q = q / jnp.linalg.norm(q)
+    q = q * jnp.where(q[0] < 0, -1.0, 1.0)
+    depth = jax.random.uniform(kd, (), minval=min_depth, maxval=max_depth)
+    # keep the target roughly in frame: lateral offset proportional to depth
+    lateral = jax.random.uniform(kt, (2,), minval=-0.16, maxval=0.16) * depth
+    t = jnp.array([lateral[0], lateral[1], 0.0]) + jnp.array([0.0, 0.0, 1.0]) * depth
+    return q, t
+
+
+@partial(jax.jit, static_argnames=('height', 'width'))
+def render_frame(keypoints_2d: jnp.ndarray, height: int = 1200,
+                 width: int = 1920, spot_sigma: float = 6.0) -> jnp.ndarray:
+    """Render a full frame as a sum of Gaussian blobs at the keypoints
+    (a cheap stand-in for the spacecraft appearance whose local maxima sit
+    exactly at the keypoints)."""
+    hm = heatmap_ops.render_heatmaps(keypoints_2d, height, width, spot_sigma)
+    img = jnp.clip(jnp.sum(hm, axis=-3), 0.0, 1.0)
+    return img * 255.0
+
+
+def make_sample(key: jax.Array, points_3d: jnp.ndarray,
+                height: int = 1200, width: int = 1920,
+                render: bool = True) -> Sample:
+    q, t = random_pose(key)
+    K = jnp.asarray(camera.SPEED_K, jnp.float32)
+    R = camera.quat_to_rotmat(q)
+    uv = camera.project_points(points_3d, R, t, K)
+    margin = 12.0
+    x1 = jnp.clip(jnp.min(uv[:, 0]) - margin, 0, width - 1)
+    y1 = jnp.clip(jnp.min(uv[:, 1]) - margin, 0, height - 1)
+    x2 = jnp.clip(jnp.max(uv[:, 0]) + margin, 0, width - 1)
+    y2 = jnp.clip(jnp.max(uv[:, 1]) + margin, 0, height - 1)
+    bbox = jnp.stack([x1, y1, x2, y2])
+    image = (render_frame(uv, height, width) if render
+             else jnp.zeros((height, width), jnp.float32))
+    return Sample(image=image, bbox=bbox, keypoints_2d=uv, quat=q, trans=t)
+
+
+def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
+               crop_size: int = 128, sigma: float = 2.0,
+               render: bool = True) -> dict[str, jnp.ndarray]:
+    """A full training batch: crops + heatmap/weight targets (NHWC).
+
+    Pipeline parity with ESADataSet.__getitem__ (data_load4.py:103-203),
+    but batched and fused on device: crop x1.05 square -> resize ->
+    keypoints to crop space -> Gaussian targets + weight maps -> normalize.
+    """
+    keys = jax.random.split(key, batch_size)
+    samples = jax.vmap(lambda k: make_sample(k, points_3d, render=render))(keys)
+    crops, rates, origins = crop_ops.crop_resize(
+        samples.image, samples.bbox, crop_size)
+    kp_crop = (samples.keypoints_2d - origins[:, None, :].astype(jnp.float32)
+               ) * rates[:, None, None]
+    hm, wm = heatmap_ops.render_targets(kp_crop, crop_size, crop_size, sigma)
+    image = crop_ops.normalize(crops)[..., None]           # (B, S, S, 1)
+    return {
+        'image': image,
+        'heatmaps': jnp.transpose(hm, (0, 2, 3, 1)),       # NHWC
+        'weights': jnp.transpose(wm, (0, 2, 3, 1)),
+        'keypoints_crop': kp_crop,
+        'rate': rates,
+        'origin': origins,
+        'quat': samples.quat,
+        'trans': samples.trans,
+        'bbox': samples.bbox,
+    }

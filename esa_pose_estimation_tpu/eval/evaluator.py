@@ -1,0 +1,100 @@
+"""6-DoF pose evaluation metrics (LINEMOD family) + running meters.
+
+TPU-native, batched re-design of the reference evaluation core
+(reference: evaluation.py:326-532):
+
+* ADD / ADD-S (symmetric, nearest-neighbor) — evaluation.py:356-397.  The
+  symmetric variant's NN search replaces the CUDA ``find_nearest_point_idx``
+  kernel (lib/utils/extend_utils/src/nearest_neighborhood.cu) with a tiled
+  pairwise-distance matmul that XLA maps onto the MXU.
+* 2D projection error — evaluation.py:340-354.
+* 5cm / 5deg — evaluation.py:399-411.
+* ``AverageMeter`` — evaluation.py:14-29 (host-side bookkeeping).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from esa_pose_estimation_tpu.core import linalg
+from esa_pose_estimation_tpu.core.camera import project_points
+
+
+def _transform(pts: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    return linalg.einsum('...ij,nj->...ni', R, pts) + t[..., None, :]
+
+
+def add_error(model_pts: jnp.ndarray, R_pred, t_pred, R_gt, t_gt) -> jnp.ndarray:
+    """Mean 3D distance between model points under the two poses
+    (evaluation.py:356-384). -> (...,) metres."""
+    a = _transform(model_pts, R_pred, t_pred)
+    b = _transform(model_pts, R_gt, t_gt)
+    return jnp.mean(jnp.linalg.norm(a - b, axis=-1), axis=-1)
+
+
+def adds_error(model_pts: jnp.ndarray, R_pred, t_pred, R_gt, t_gt) -> jnp.ndarray:
+    """Symmetric ADD: mean nearest-neighbor distance (evaluation.py:386-397).
+
+    The (N, N) pairwise distance matrix is one matmul-shaped contraction —
+    MXU-friendly for the few-thousand-point models used here.
+    """
+    a = _transform(model_pts, R_pred, t_pred)       # (..., N, 3)
+    b = _transform(model_pts, R_gt, t_gt)
+    a2 = jnp.sum(a * a, axis=-1)[..., :, None]
+    b2 = jnp.sum(b * b, axis=-1)[..., None, :]
+    ab = linalg.einsum('...ni,...mi->...nm', a, b)
+    d2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+    return jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)), axis=-1)
+
+
+def projection_error_2d(model_pts: jnp.ndarray, K: jnp.ndarray,
+                        R_pred, t_pred, R_gt, t_gt) -> jnp.ndarray:
+    """Mean 2D reprojection distance in pixels (evaluation.py:340-354)."""
+    a = project_points(model_pts, R_pred, t_pred, K)
+    b = project_points(model_pts, R_gt, t_gt, K)
+    return jnp.mean(jnp.linalg.norm(a - b, axis=-1), axis=-1)
+
+
+def cm_degree_error(R_pred, t_pred, R_gt, t_gt) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(translation cm, rotation deg) pair (evaluation.py:399-411)."""
+    t_cm = jnp.linalg.norm(t_pred - t_gt, axis=-1) * 100.0
+    tr = jnp.einsum('...ij,...ij->...', R_pred, R_gt)
+    ang = jnp.degrees(jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+    return t_cm, ang
+
+
+def pose_accuracy(model_pts: jnp.ndarray, diameter: float, K: jnp.ndarray,
+                  R_pred, t_pred, R_gt, t_gt,
+                  symmetric: bool = False) -> dict[str, jnp.ndarray]:
+    """The reference's evaluate() triple (evaluation.py:450-468 +
+    result tuple at :526-532): fraction of poses passing
+    2D-projection<5px, ADD<0.1*diameter, 5cm5deg."""
+    addf = adds_error if symmetric else add_error
+    add = addf(model_pts, R_pred, t_pred, R_gt, t_gt)
+    proj = projection_error_2d(model_pts, K, R_pred, t_pred, R_gt, t_gt)
+    t_cm, ang = cm_degree_error(R_pred, t_pred, R_gt, t_gt)
+    return {
+        'projection_2d': jnp.mean((proj < 5.0).astype(jnp.float32)),
+        'add': jnp.mean((add < 0.1 * diameter).astype(jnp.float32)),
+        'cm_degree_5': jnp.mean(((t_cm < 5.0) & (ang < 5.0)).astype(jnp.float32)),
+    }
+
+
+class AverageMeter:
+    """Running mean/sum/count (reference: evaluation.py:14-29)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        val = float(val)
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)

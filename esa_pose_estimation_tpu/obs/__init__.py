@@ -1,0 +1,5 @@
+from esa_pose_estimation_tpu.obs.logger import (  # noqa: F401
+    JsonlLogger,
+    TcpPusher,
+    TsvLogger,
+)

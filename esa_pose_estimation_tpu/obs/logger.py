@@ -1,0 +1,124 @@
+"""Observability: TSV metrics logger, JSONL event log, optional TCP push.
+
+Re-design of the reference's four logging channels (SURVEY §5.5):
+
+* :class:`TsvLogger` — tab-separated metrics file with resume, API parity
+  with the reference ``Logger`` (logger.py:22-98) minus the matplotlib
+  coupling (plotting reads the file back, it doesn't live in the logger).
+* :class:`JsonlLogger` — structured events for machine consumption (the
+  modern replacement for the raw append files log/log_esa.txt).
+* :class:`TcpPusher` — framed text telemetry push, protocol parity with
+  tcp_send.py:9-38 (``\\runlog proname/type/classname/payload``), OFF by
+  default and fail-soft like the reference (tcp_send.py:18-22).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+from typing import Iterable
+
+
+class TsvLogger:
+    """Append-mode TSV logger with resume (reference: logger.py:22-98)."""
+
+    def __init__(self, path: str, resume: bool = False):
+        self.path = path
+        self.names: list[str] = []
+        self.numbers: dict[str, list[float]] = {}
+        if resume and os.path.exists(path):
+            with open(path) as f:
+                header = f.readline().rstrip('\n')
+                self.names = header.split('\t') if header else []
+                self.numbers = {n: [] for n in self.names}
+                for line in f:
+                    vals = line.rstrip('\n').split('\t')
+                    for n, v in zip(self.names, vals):
+                        self.numbers[n].append(float(v))
+            self.file = open(path, 'a')
+        else:
+            os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+            self.file = open(path, 'w')
+
+    def set_names(self, names: Iterable[str]) -> None:
+        names = list(names)
+        if self.names:       # resumed: keep existing header
+            return
+        self.names = names
+        self.numbers = {n: [] for n in names}
+        self.file.write('\t'.join(names) + '\n')
+        self.file.flush()
+
+    def append(self, values: Iterable) -> None:
+        values = list(values)
+        assert len(values) == len(self.names), 'value/name count mismatch'
+        for n, v in zip(self.names, values):
+            self.numbers[n].append(float(v))
+        self.file.write('\t'.join(
+            f'{v:.6f}' if isinstance(v, float) else str(v)
+            for v in values) + '\n')
+        self.file.flush()
+
+    def close(self) -> None:
+        self.file.close()
+
+
+class JsonlLogger:
+    """One JSON object per line, timestamped."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        self.file = open(path, 'a')
+
+    def log(self, event: str, **fields) -> None:
+        rec = {'ts': time.time(), 'event': event, **fields}
+        self.file.write(json.dumps(rec) + '\n')
+        self.file.flush()
+
+    def close(self) -> None:
+        self.file.close()
+
+
+class TcpPusher:
+    """Fail-soft framed TCP telemetry (reference: tcp_send.py:9-38).
+
+    Never raises: a dead endpoint logs False and training proceeds, same as
+    the reference (tcp_send.py:18-22).  Disabled unless a host is given.
+    """
+
+    def __init__(self, host: str | None = None, port: int = 6000,
+                 proname: str = 'esa_tpu'):
+        self.host = host
+        self.port = port
+        self.proname = proname
+        self.sock: socket.socket | None = None
+
+    def create_socket(self, classname: str = 'esa') -> bool:
+        if self.host is None:
+            return False
+        try:
+            self.sock = socket.create_connection((self.host, self.port),
+                                                 timeout=2.0)
+            return self.send('start', type='create', classname=classname)
+        except OSError:
+            self.sock = None
+            return False
+
+    def send(self, data: str, type: str = 'log', classname: str = 'esa') -> bool:
+        if self.sock is None:
+            return False
+        try:
+            frame = f'\\runlog {self.proname}/{type}/{classname}/{data}\n'
+            self.sock.sendall(frame.encode('utf-8'))
+            return True
+        except OSError:
+            return False
+
+    def close(self) -> None:
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            finally:
+                self.sock = None

@@ -1,0 +1,57 @@
+"""Device mesh and sharding utilities.
+
+The reference's only parallelism is single-process ``torch.nn.DataParallel``
+replicate/scatter/gather over local GPUs plus a Python-queue sync-BN
+(reference: main.py:254, models/sync_bn/inplace_abn/bn.py:116-178; SURVEY
+§2.a).  The TPU-native equivalent is one SPMD program over a
+``jax.sharding.Mesh``: the batch axis is sharded over the ``data`` mesh
+axis, parameters are replicated, and XLA inserts the all-reduces (gradient
+sums and BatchNorm statistics) over ICI automatically — no custom
+communication code.
+
+A ``model`` axis is provisioned for intra-layer sharding of larger variants;
+for these CNN workloads (HRNet-W32 ~9.6M params) it defaults to size 1 and
+the design doc in SURVEY §5.7 records why sequence-style TP/PP is not
+applicable.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices: list[jax.Device] | None = None) -> Mesh:
+    """Build a (data, model) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host pytree onto the mesh with the batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)

@@ -1,0 +1,79 @@
+"""Checkpoint management with ``last`` / ``best_tran`` / ``best_rotate``
+aliases.
+
+TPU-native equivalent of the reference's torch.save dict checkpoints
+(reference: main.py:176-204 save_model/load_model; metric-gated best
+snapshots at main.py:408-417; eval loads 'best_rotate' at demo.py:418).
+Uses orbax for the on-disk format; state is
+{'params', 'batch_stats', 'opt_state', 'epoch'} mirroring the reference's
+{'net', 'optim', 'epoch'}.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+LAST = 'last'
+BEST_TRAN = 'best_tran'
+BEST_ROTATE = 'best_rotate'
+
+
+class CheckpointManager:
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, name: str, state, epoch: int) -> None:
+        """Save under an alias name ('last', 'best_tran', epoch number...)."""
+        payload = {
+            'params': state.params,
+            'batch_stats': state.batch_stats,
+            'opt_state': state.opt_state,
+            'epoch': epoch,
+        }
+        path = self._path(str(name))
+        self._ckptr.save(path, jax.device_get(payload), force=True)
+
+    def restore(self, name: str, state):
+        """Restore into an existing TrainState template.  Returns
+        (state, next_epoch) or (state, 0) when absent (reference
+        load_model returns 0 on a missing dir, main.py:185-195)."""
+        path = self._path(str(name))
+        if not os.path.exists(path):
+            return state, 0
+        template = {
+            'params': state.params,
+            'batch_stats': state.batch_stats,
+            'opt_state': state.opt_state,
+            'epoch': 0,
+        }
+        payload = self._ckptr.restore(path, item=jax.device_get(template))
+        state = state.replace(params=payload['params'],
+                              batch_stats=payload['batch_stats'],
+                              opt_state=payload['opt_state'])
+        return state, int(payload['epoch']) + 1
+
+    def save_rolling(self, state, epoch: int,
+                     score_tran: float | None = None,
+                     score_rotate: float | None = None,
+                     best: dict[str, float] | None = None) -> dict[str, float]:
+        """'last' every epoch + metric-gated best aliases
+        (reference: main.py:408-417).  ``best`` carries the running minima;
+        returns the updated dict."""
+        best = dict(best or {})
+        self.save(LAST, state, epoch)
+        if score_tran is not None and score_tran < best.get(BEST_TRAN, float('inf')):
+            self.save(BEST_TRAN, state, epoch)
+            best[BEST_TRAN] = score_tran
+        if score_rotate is not None and score_rotate < best.get(BEST_ROTATE, float('inf')):
+            self.save(BEST_ROTATE, state, epoch)
+            best[BEST_ROTATE] = score_rotate
+        return best

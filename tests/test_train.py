@@ -1,0 +1,176 @@
+"""Training stack tests: losses vs torch transcription, sharded train step
+convergence on synthetic data, LR schedule, checkpointing round trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from esa_pose_estimation_tpu.data import synthetic
+from esa_pose_estimation_tpu.models import HRNet
+from esa_pose_estimation_tpu.parallel import make_mesh, shard_batch, replicate
+from esa_pose_estimation_tpu.train import loss as loss_mod
+from esa_pose_estimation_tpu.train import state as state_mod
+from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
+from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+
+def torch_heatmap_wing(y_pred, y, alpha=2.1, omega=14.0, eps=2.0, theta=0.5):
+    # numpy transcription of reference loss.py:61-80
+    lossMat = np.zeros_like(y_pred)
+    C = theta - omega * np.log(1 + (theta / (eps - y)) ** (alpha - y))
+    d = np.abs(y - y_pred)
+    case1 = d < theta
+    case2 = ~case1
+    lossMat[case1] = omega * np.log(
+        1 + np.abs((y[case1] - y_pred[case1]) / (eps - y[case1])) ** (alpha - y[case1]))
+    lossMat[case2] = d[case2] - C[case2]
+    return lossMat
+
+
+class TestLosses:
+    def test_heatmap_wing_matches_reference(self):
+        rng = np.random.default_rng(0)
+        y = rng.uniform(0, 1, size=(4, 16, 16)).astype(np.float64)
+        y_pred = np.clip(y + rng.normal(scale=0.3, size=y.shape), -0.5, 1.5)
+        ref = torch_heatmap_wing(y_pred, y)
+        ours = np.asarray(loss_mod.heatmap_wing(jnp.asarray(y_pred),
+                                                jnp.asarray(y)))
+        # ours computes in f32 (JAX default); reference transcription in f64
+        np.testing.assert_allclose(ours, ref, rtol=5e-4, atol=1e-6)
+
+    def test_weighted_loss_scalar(self):
+        y = jnp.zeros((2, 8, 8, 3))
+        pred = jnp.zeros((2, 8, 8, 3))
+        w = jnp.zeros((2, 8, 8, 3))
+        out = loss_mod.weighted_heatmap_loss(pred, y, w)
+        assert out.shape == ()
+        assert float(out) == pytest.approx(0.0, abs=1e-7)
+
+    def test_gradients_finite(self):
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)), jnp.float32)
+        w = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 3)), jnp.float32)
+
+        def f(pred):
+            return loss_mod.weighted_heatmap_loss(pred, y, w)
+
+        g = jax.grad(f)(y * 0.5)
+        assert np.isfinite(np.asarray(g)).all()
+
+    def test_other_losses_shapes(self):
+        x = jnp.linspace(-2, 2, 50)
+        y = jnp.zeros(50)
+        for fn in (loss_mod.adaptive_wing, loss_mod.wing, loss_mod.smooth_l1):
+            out = fn(x, y)
+            assert out.shape == (50,)
+            assert np.isfinite(np.asarray(out)).all()
+
+
+class TestLrSchedule:
+    def test_boundaries(self):
+        cfg = cfg_mod.TrainConfig()
+        sched = state_mod.lr_schedule(cfg, steps_per_epoch=10)
+        assert float(sched(0)) == pytest.approx(1e-4)
+        assert float(sched(79 * 10)) == pytest.approx(1e-4)
+        assert float(sched(80 * 10)) == pytest.approx(1e-5)
+        assert float(sched(100 * 10)) == pytest.approx(1e-6)
+        assert float(sched(170 * 10)) == pytest.approx(1e-7, rel=1e-5)
+
+
+class TestTrainStep:
+    @pytest.fixture(scope='class')
+    def setup(self):
+        cfg = cfg_mod.TrainConfig(batch_size=8, crop_size=32, lr=1e-3,
+                                  lr_values=(1e-3, 1e-4, 1e-5, 1e-6))
+        model = HRNet(cfg_mod.hrnet_tiny())
+        pts = synthetic.spacecraft_points(6)
+        batch = synthetic.make_batch(jax.random.PRNGKey(0), 8, pts,
+                                     crop_size=32)
+        batch = {k: batch[k] for k in ('image', 'heatmaps', 'weights')}
+        st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(1),
+                                          (1, 32, 32, 1))
+        return st, batch
+
+    def test_loss_decreases(self, setup):
+        st, batch = setup
+        mesh = make_mesh(8)
+        step = state_mod.make_sharded_train_step(mesh)
+        st = replicate(st, mesh)
+        sbatch = shard_batch(batch, mesh)
+        losses = []
+        for _ in range(12):
+            st, metrics = step(st, sbatch)
+            losses.append(float(metrics['loss']))
+        assert losses[-1] < losses[0] * 0.7, losses
+        assert np.isfinite(losses).all()
+
+    def test_batch_sharded_over_mesh(self, setup):
+        st, batch = setup
+        mesh = make_mesh(8)
+        sbatch = shard_batch(batch, mesh)
+        sharding = sbatch['image'].sharding
+        assert sharding.spec == jax.sharding.PartitionSpec('data')
+        assert len(sharding.mesh.devices.flatten()) == 8
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_best_aliases(self, tmp_path):
+        cfg = cfg_mod.TrainConfig(batch_size=4, crop_size=32)
+        model = HRNet(cfg_mod.hrnet_tiny())
+        st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(2),
+                                          (1, 32, 32, 1))
+        mgr = CheckpointManager(str(tmp_path / 'ckpt'))
+        best = mgr.save_rolling(st, epoch=3, score_tran=0.5, score_rotate=0.9,
+                                best={})
+        assert best == {'best_tran': 0.5, 'best_rotate': 0.9}
+        # worse scores must not overwrite the best aliases
+        best = mgr.save_rolling(st, epoch=4, score_tran=0.7, score_rotate=1.2,
+                                best=best)
+        assert best == {'best_tran': 0.5, 'best_rotate': 0.9}
+
+        st2 = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(3),
+                                           (1, 32, 32, 1))
+        st2, next_epoch = mgr.restore('last', st2)
+        assert next_epoch == 5
+        for a, b in zip(jax.tree.leaves(st.params),
+                        jax.tree.leaves(st2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_restore_missing_returns_epoch_zero(self, tmp_path):
+        cfg = cfg_mod.TrainConfig(batch_size=4, crop_size=32)
+        model = HRNet(cfg_mod.hrnet_tiny())
+        st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(4),
+                                          (1, 32, 32, 1))
+        mgr = CheckpointManager(str(tmp_path / 'empty'))
+        _, epoch = mgr.restore('last', st)
+        assert epoch == 0
+
+
+class TestSyntheticData:
+    def test_batch_contents(self):
+        pts = synthetic.spacecraft_points()
+        batch = synthetic.make_batch(jax.random.PRNGKey(5), 4, pts,
+                                     crop_size=64)
+        assert batch['image'].shape == (4, 64, 64, 1)
+        assert batch['heatmaps'].shape == (4, 64, 64, 30)
+        assert batch['weights'].shape == (4, 64, 64, 30)
+        # heatmap peaks must sit at the crop-space keypoints
+        hm = np.asarray(batch['heatmaps'])
+        kp = np.asarray(batch['keypoints_crop'])
+        for b in range(4):
+            for k in range(0, 30, 7):
+                if (kp[b, k] < 2).any() or (kp[b, k] > 62).any():
+                    continue
+                idx = hm[b, :, :, k].argmax()
+                py, px = divmod(idx, 64)
+                assert abs(px - kp[b, k, 0]) <= 1.0
+                assert abs(py - kp[b, k, 1]) <= 1.0
+
+    def test_pose_depth_range(self):
+        pts = synthetic.spacecraft_points()
+        batch = synthetic.make_batch(jax.random.PRNGKey(6), 16, pts,
+                                     crop_size=32, render=False)
+        z = np.asarray(batch['trans'][:, 2])
+        assert (z > 4.9).all() and (z < 30.1).all()
