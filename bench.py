@@ -12,6 +12,10 @@ and prints ONE JSON line {metric, value, unit, vs_baseline}.
 Baseline: the reference eval loop runs 0.205 s/image on an RTX 3080
 (BASELINE.md; main.log:6433) == 4.878 img/s; vs_baseline is the speedup
 over that number.
+
+Uses the persistent compilation cache (.jax_cache) so repeat runs skip the
+XLA compile; parameters are initialized under jit (eager init dispatches
+thousands of tiny ops through the device tunnel and takes minutes).
 """
 
 from __future__ import annotations
@@ -22,10 +26,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 BASELINE_IMG_PER_S = 1.0 / 0.205
+BATCH = 64
+N_ITERS = 20
 
 
-def build_pipeline(batch_size: int):
+def build_pipeline():
     from esa_pose_estimation_tpu.core import camera
     from esa_pose_estimation_tpu.models import HRNet
     from esa_pose_estimation_tpu.ops import crop as crop_ops
@@ -34,8 +43,8 @@ def build_pipeline(batch_size: int):
     from esa_pose_estimation_tpu.utils import config as cfg_mod
 
     model = HRNet(cfg_mod.hrnet_esa(), dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
-    variables = model.init(rng, jnp.zeros((1, 128, 128, 1)), train=False)
+    variables = jax.jit(model.init, static_argnames=('train',))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 1)), train=False)
     K = jnp.asarray(camera.SPEED_K, jnp.float32)
 
     def pipeline(variables, frames, bboxes, points_3d, key):
@@ -54,26 +63,24 @@ def build_pipeline(batch_size: int):
         R, t = pnp_mod.lm_refine(p3, uncropped, w, K, init.R, init.t, iters=10)
         return R, t
 
-    return model, variables, jax.jit(pipeline), K
+    return variables, jax.jit(pipeline)
 
 
 def main():
     from esa_pose_estimation_tpu.data import synthetic
 
-    batch_size = 64
-    n_iters = 10
     pts = synthetic.spacecraft_points()
 
     # Pre-generate input frames on device (input generation is not the
     # system under test; frames stay in HBM like a deployed ingest queue).
-    keys = jax.random.split(jax.random.PRNGKey(7), batch_size)
+    keys = jax.random.split(jax.random.PRNGKey(7), BATCH)
     samples = jax.jit(
         jax.vmap(lambda k: synthetic.make_sample(k, pts))
     )(keys)
     frames = samples.image.block_until_ready()
     bboxes = samples.bbox
 
-    model, variables, pipeline, K = build_pipeline(batch_size)
+    variables, pipeline = build_pipeline()
 
     key = jax.random.PRNGKey(0)
     # warmup/compile
@@ -81,13 +88,13 @@ def main():
     R.block_until_ready()
 
     start = time.perf_counter()
-    for i in range(n_iters):
+    for i in range(N_ITERS):
         R, t = pipeline(variables, frames, bboxes, pts,
                         jax.random.fold_in(key, i))
     R.block_until_ready()
     elapsed = time.perf_counter() - start
 
-    img_per_s = batch_size * n_iters / elapsed
+    img_per_s = BATCH * N_ITERS / elapsed
     print(json.dumps({
         'metric': 'end-to-end images/sec/chip (crop+HRNet+decode+PnP)',
         'value': round(img_per_s, 2),

@@ -2,27 +2,34 @@
 
 TPU-native replacement for the reference's ``cv2.solvePnPRansac(...,
 flags=SOLVEPNP_EPNP)`` initializer (reference: pnp.py:46-90, called from
-demo.py:261 / val.py:194).  Design goals that differ from an OpenCV port:
+demo.py:261 / val.py:194).  Design points that differ from an OpenCV port:
 
 * **Weighted, fixed-shape formulation** — instead of gathering dynamic point
-  subsets (impossible under jit), every step takes a per-point weight vector.
-  RANSAC sampling, inlier re-fits and confidence weighting all become weight
-  masks over the same static-(N) arrays, so one compiled program serves all
-  of them and vmaps cleanly over batch and hypothesis dimensions.
+  subsets (impossible under jit), every solve takes a per-point weight
+  vector.  RANSAC sampling, inlier re-fits and confidence weighting all
+  become weight masks over the same static-(N) arrays.
+* **Natively batched, flat leading dim** — all linear algebra (12x12 eigh,
+  3x3 svd) runs on ONE flattened batch axis.  Nested ``vmap`` lowers these
+  decompositions to per-element loops on TPU (measured ~1000x slower than
+  the natively batched op), so the implementation broadcasts and flattens
+  instead of relying on vmap nesting.
+* **Shared precomputation** — the control frame, barycentric coordinates
+  and each point's rank-2 contribution to M^T M depend only on the problem,
+  not the mask; RANSAC over H hypotheses is H masked contractions + eigh +
+  Procrustes (see :class:`EpnpShared`).
 * All contractions pinned to ``Precision.HIGHEST`` (see core/linalg.py);
-  the 12x12 null-space eigenproblem is f32-stable once coordinates are
-  normalized by K.
+  f32 is stable once image coordinates are normalized by K.
 
-Algorithm (Lepetit, Moreno-Noguer, Fua, IJCV 2009):
-  control points from weighted PCA -> barycentric coordinates -> 2N x 12
-  system -> smallest eigenvectors of M^T M -> beta1 closed form + Gauss-
-  Newton refinement of (b1..b4) on the 6 inter-control-point distances ->
-  weighted Procrustes for (R, t).
+Algorithm (Lepetit, Moreno-Noguer, Fua, IJCV 2009): control points from
+PCA -> barycentric coordinates -> 2N x 12 system -> smallest eigenvectors
+of M^T M -> closed-form beta1 + Gauss-Newton on (b1..b4) over the 6
+control-point distances -> weighted Procrustes for (R, t).
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +37,8 @@ import jax.numpy as jnp
 from esa_pose_estimation_tpu.core import linalg
 
 _EPS = 1e-9
+_PAIR_A = (0, 0, 0, 1, 1, 2)
+_PAIR_B = (1, 2, 3, 2, 3, 3)
 
 
 def normalize_points_2d(points_2d: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
@@ -41,105 +50,270 @@ def normalize_points_2d(points_2d: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y], axis=-1)
 
 
+def _inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse via adjugate (batched, branch-free)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20,
+                              jnp.where(det < 0, -1e-20, 1e-20), det)
+    adj = jnp.stack([
+        jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+        jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+        jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1)], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def polar_rotation(M: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
+    """Nearest rotation to a (batched) 3x3 matrix via scaled Newton polar
+    iteration (Higham): R <- (g R + (1/g) R^-T) / 2.
+
+    Replaces the batched 3x3 SVD, which lowers to a slow iterative kernel
+    on TPU (~5 us/matrix); this is straight-line elementwise math with a
+    closed-form adjugate inverse.  det<0 inputs are flipped up front so the
+    result is a proper rotation (the SVD sign-correction equivalent).
+    """
+    det = jnp.linalg.det(M)
+    sign = jnp.where(det < 0, -1.0, 1.0)[..., None, None]
+    X = M * sign
+    # normalize scale so the iteration starts well-conditioned
+    X = X / jnp.maximum(
+        jnp.linalg.norm(X, axis=(-2, -1), keepdims=True) / jnp.sqrt(3.0),
+        1e-12)
+    for _ in range(iters):
+        Xi_t = jnp.swapaxes(_inv3(X), -1, -2)
+        # Higham's 1-norm/inf-norm scale accelerant (Frobenius variant)
+        nx = jnp.linalg.norm(X, axis=(-2, -1), keepdims=True)
+        ni = jnp.linalg.norm(Xi_t, axis=(-2, -1), keepdims=True)
+        g = jnp.sqrt(jnp.maximum(ni / jnp.maximum(nx, 1e-12), 1e-12))
+        X = 0.5 * (g * X + Xi_t / g)
+    return X * sign
+
+
 def weighted_kabsch(src: jnp.ndarray, dst: jnp.ndarray,
                     weights: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Weighted rigid alignment: find R, t minimizing sum w ||R src + t - dst||^2.
+    """Weighted rigid alignment: R, t minimizing sum w ||R src + t - dst||^2.
 
-    src, dst: (N, 3); weights: (N,).  Returns (R (3,3), t (3,)).
+    src, dst: (..., N, 3); weights: (..., N).  Batched over leading dims.
+    The optimal rotation is the polar factor of the weighted covariance
+    (computed with the Newton iteration above instead of SVD).
     """
-    w = weights / (jnp.sum(weights) + _EPS)
-    src_c = jnp.sum(w[:, None] * src, axis=0)
-    dst_c = jnp.sum(w[:, None] * dst, axis=0)
-    s = src - src_c
-    d = dst - dst_c
-    cov = linalg.einsum('n,ni,nj->ij', w, d, s)      # dst x src covariance
-    U, _, Vt = jnp.linalg.svd(cov)
-    det = jnp.linalg.det(linalg.matmul(U, Vt))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], cov.dtype)).at[2, 2].set(det)
-    R = linalg.matmul(U, linalg.matmul(D, Vt))
-    t = dst_c - R @ src_c
+    w = weights / (jnp.sum(weights, axis=-1, keepdims=True) + _EPS)
+    src_c = jnp.sum(w[..., None] * src, axis=-2)
+    dst_c = jnp.sum(w[..., None] * dst, axis=-2)
+    s = src - src_c[..., None, :]
+    d = dst - dst_c[..., None, :]
+    cov = linalg.einsum('...n,...ni,...nj->...ij', w, d, s)
+    R = polar_rotation(cov)
+    t = dst_c - linalg.einsum('...ij,...j->...i', R, src_c)
     return R, t
 
 
 def _control_points(points_3d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Four control points: weighted centroid + principal axes. -> (4, 3)."""
-    wn = w / (jnp.sum(w) + _EPS)
-    c0 = jnp.sum(wn[:, None] * points_3d, axis=0)
-    centered = points_3d - c0
-    cov = linalg.einsum('n,ni,nj->ij', wn, centered, centered)
-    eigval, eigvec = jnp.linalg.eigh(cov)          # ascending
-    # sqrt of (clamped) variances keeps the control frame well-scaled even
-    # for near-planar point sets.
-    scale = jnp.sqrt(jnp.maximum(eigval, 1e-8))
-    axes = eigvec * scale[None, :]                 # columns are scaled axes
-    return jnp.concatenate([c0[None, :], c0[None, :] + axes.T], axis=0)
+    """Four control points: weighted centroid + rms-scaled axis-aligned frame.
+
+    points_3d: (..., N, 3); w: (..., N) -> (..., 4, 3).
+
+    Any non-degenerate affine frame is a valid EPnP control frame; the
+    PCA frame of the original paper buys nothing here but costs a batched
+    3x3 eigh (slow, data-dependent QDWH on TPU), so we use the centroid
+    plus axis-aligned offsets at the rms point spread.
+    """
+    wn = w / (jnp.sum(w, axis=-1, keepdims=True) + _EPS)
+    c0 = jnp.sum(wn[..., None] * points_3d, axis=-2)
+    centered = points_3d - c0[..., None, :]
+    rms = jnp.sqrt(jnp.sum(wn[..., None] * centered ** 2, axis=(-2, -1))
+                   / 3.0 + 1e-12)
+    axes = rms[..., None, None] * jnp.eye(3, dtype=points_3d.dtype)
+    return jnp.concatenate(
+        [c0[..., None, :], c0[..., None, :] + axes], axis=-2)
+
+
+def _gram_schmidt(X: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormalize the k columns of (..., 12, k) (modified Gram-Schmidt,
+    unrolled — k is tiny)."""
+    cols = []
+    for j in range(X.shape[-1]):
+        v = X[..., j]
+        for u in cols:
+            v = v - jnp.sum(v * u, axis=-1, keepdims=True) * u
+        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-20)
+        cols.append(v)
+    return jnp.stack(cols, axis=-1)
+
+
+def smallest_eigvecs(A: jnp.ndarray, k: int = 4,
+                     iters: int = 4) -> jnp.ndarray:
+    """The k eigenvectors of smallest eigenvalue of a batched PSD matrix
+    via ridge-shifted subspace inverse iteration.
+
+    A: (..., 12, 12) -> (..., 12, k), first column ~ smallest.
+
+    Replaces ``jnp.linalg.eigh``: XLA's eigh/svd lower to QDWH custom calls
+    whose iteration count is data-dependent and hits worst case exactly on
+    the near-singular matrices EPnP produces (measured ~650x slower than on
+    well-conditioned inputs).  This is a fixed-iteration straight-line
+    program: one Cholesky + 2k triangular solves per iteration.
+    """
+    m = A.shape[-1]
+    tr = jnp.trace(A, axis1=-2, axis2=-1)
+    ridge = (1e-7 * tr / m + 1e-12)[..., None, None]
+    L = jnp.linalg.cholesky(A + ridge * jnp.eye(m, dtype=A.dtype))
+    # Fixed full-rank start basis (deterministic; not axis-aligned so it is
+    # never orthogonal to the target subspace in practice).
+    import numpy as _np
+    rng = _np.random.default_rng(12345)
+    X0 = jnp.asarray(_np.linalg.qr(rng.normal(size=(m, k)))[0], A.dtype)
+    X = jnp.broadcast_to(X0, A.shape[:-2] + (m, k))
+    for _ in range(iters):
+        Y = jax.scipy.linalg.solve_triangular(L, X, lower=True)
+        X = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), Y, lower=False)
+        X = _gram_schmidt(X)
+    return X
 
 
 def _barycentric(points_3d: jnp.ndarray, ctrl: jnp.ndarray) -> jnp.ndarray:
-    """Barycentric coordinates of each point wrt the 4 control points. -> (N, 4)."""
-    B = (ctrl[1:] - ctrl[0]).T                     # (3, 3)
-    rhs = (points_3d - ctrl[0]).T                  # (3, N)
-    beta = linalg.solve(B, rhs).T                  # (N, 3)
+    """Barycentric coordinates wrt the 4 control points. -> (..., N, 4)."""
+    B = jnp.swapaxes(ctrl[..., 1:, :] - ctrl[..., :1, :], -1, -2)  # (...,3,3)
+    rhs = jnp.swapaxes(points_3d - ctrl[..., :1, :], -1, -2)       # (...,3,N)
+    beta = jnp.swapaxes(linalg.solve(B, rhs), -1, -2)              # (...,N,3)
     alpha0 = 1.0 - jnp.sum(beta, axis=-1, keepdims=True)
     return jnp.concatenate([alpha0, beta], axis=-1)
 
 
-def _build_MtM(alphas: jnp.ndarray, norm_2d: jnp.ndarray,
-               w: jnp.ndarray) -> jnp.ndarray:
-    """M^T M (12x12) of the weighted EPnP linear system without materializing M.
-
-    Row pair per point i (normalized intrinsics f=1, c=0):
-      sum_j a_ij x_j            - u_i sum_j a_ij z_j = 0
-      sum_j a_ij y_j            - v_i sum_j a_ij z_j = 0
-    """
-    n = alphas.shape[0]
-    u = norm_2d[..., 0]
-    v = norm_2d[..., 1]
-    zeros = jnp.zeros_like(alphas)                  # (N, 4)
-    # rows_u/rows_v: (N, 4, 3) -> (N, 12); column layout [x_j y_j z_j]*4.
-    rows_u = jnp.stack([alphas, zeros, -alphas * u[:, None]], axis=-1)
-    rows_v = jnp.stack([zeros, alphas, -alphas * v[:, None]], axis=-1)
-    M = jnp.concatenate([rows_u.reshape(n, 12), rows_v.reshape(n, 12)], axis=0)
-    ww = jnp.concatenate([w, w], axis=0)
-    return linalg.einsum('n,ni,nj->ij', ww, M, M)
-
-
-def _ctrl_cam_from_betas(betas: jnp.ndarray, V: jnp.ndarray) -> jnp.ndarray:
-    """Camera-frame control points from basis combination. V: (4, 12) rows are
-    the 4 smallest eigenvectors; betas: (4,). -> (4, 3)."""
-    return jnp.einsum('k,kj->j', betas, V).reshape(4, 3)
-
-
 def _ctrl_distances(ctrl: jnp.ndarray) -> jnp.ndarray:
-    """The 6 pairwise distances between 4 control points. -> (6,)."""
-    idx_a = jnp.array([0, 0, 0, 1, 1, 2])
-    idx_b = jnp.array([1, 2, 3, 2, 3, 3])
-    diff = ctrl[idx_a] - ctrl[idx_b]
+    """The 6 pairwise distances between 4 control points. (..., 4, 3) -> (..., 6)."""
+    ia = jnp.array(_PAIR_A)
+    ib = jnp.array(_PAIR_B)
+    diff = ctrl[..., ia, :] - ctrl[..., ib, :]
     return jnp.linalg.norm(diff, axis=-1)
 
 
 def _refine_betas(betas0: jnp.ndarray, V: jnp.ndarray, dist_w: jnp.ndarray,
-                  iters: int = 8) -> jnp.ndarray:
-    """Gauss-Newton on the 4 betas matching camera control-point distances to
-    world distances (the 'relinearization' step of EPnP)."""
+                  iters: int = 4) -> jnp.ndarray:
+    """Gauss-Newton on the 4 betas matching camera control-point distances
+    to world distances (EPnP 'relinearization').
 
-    def residual(betas):
-        return _ctrl_distances(_ctrl_cam_from_betas(betas, V)) - dist_w
+    betas0: (..., 4); V: (..., 4, 12); dist_w: (..., 6).  Unrolled with an
+    analytic Jacobian — a short straight-line tensor program instead of
+    jacfwd-in-a-loop.
+    """
+    ia = jnp.array(_PAIR_A)
+    ib = jnp.array(_PAIR_B)
+    Vc = V.reshape(V.shape[:-1] + (4, 3))          # (..., basis, ctrl, xyz)
+    Vd = Vc[..., :, ia, :] - Vc[..., :, ib, :]     # (..., 4, 6, 3)
 
-    def body(_, betas):
-        r = residual(betas)
-        J = jax.jacfwd(residual)(betas)            # (6, 4)
-        H = linalg.matmul(J.T, J) + 1e-9 * jnp.eye(4, dtype=betas.dtype)
-        g = J.T @ r
-        return betas - linalg.solve(H, g)
+    betas = betas0
+    eye4 = jnp.eye(4, dtype=betas0.dtype)
+    for _ in range(iters):
+        diff = linalg.einsum('...k,...kpi->...pi', betas, Vd)   # (..., 6, 3)
+        dist = jnp.linalg.norm(diff, axis=-1)
+        r = dist - dist_w                                       # (..., 6)
+        unit = diff / jnp.maximum(dist, 1e-9)[..., None]
+        J = linalg.einsum('...pi,...kpi->...pk', unit, Vd)      # (..., 6, 4)
+        H = linalg.einsum('...pk,...pl->...kl', J, J) + 1e-9 * eye4
+        g = linalg.einsum('...pk,...p->...k', J, r)
+        betas = betas - linalg.solve(H, g[..., None])[..., 0]
+    return betas
 
-    return jax.lax.fori_loop(0, iters, body, betas0)
+
+class EpnpShared(NamedTuple):
+    """Per-problem precomputation shared by every weight mask / hypothesis.
+
+    The control frame and barycentric coordinates are properties of the
+    full point set (any non-degenerate affine frame is valid for every
+    subset), and each point contributes a fixed rank-2 term to M^T M.
+    """
+    points_3d: jnp.ndarray    # (..., N, 3)
+    alphas: jnp.ndarray       # (..., N, 4)
+    G: jnp.ndarray            # (..., N, 12, 12)
+    dist_w: jnp.ndarray       # (..., 6)
 
 
-@partial(jax.jit, static_argnames=())
+def epnp_precompute(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
+                    K: jnp.ndarray) -> EpnpShared:
+    """Batched over leading dims of points_3d/points_2d."""
+    n = points_3d.shape[-2]
+    ones = jnp.ones(points_3d.shape[:-1], points_3d.dtype)
+    norm_2d = normalize_points_2d(points_2d, K)
+    ctrl = _control_points(points_3d, ones)
+    alphas = _barycentric(points_3d, ctrl)
+    u = norm_2d[..., 0]
+    v = norm_2d[..., 1]
+    zeros = jnp.zeros_like(alphas)
+    rows_u = jnp.stack([alphas, zeros, -alphas * u[..., None]], axis=-1
+                       ).reshape(points_3d.shape[:-2] + (n, 12))
+    rows_v = jnp.stack([zeros, alphas, -alphas * v[..., None]], axis=-1
+                       ).reshape(points_3d.shape[:-2] + (n, 12))
+    G = (linalg.einsum('...ni,...nj->...nij', rows_u, rows_u)
+         + linalg.einsum('...ni,...nj->...nij', rows_v, rows_v))
+    return EpnpShared(points_3d=points_3d, alphas=alphas, G=G,
+                      dist_w=_ctrl_distances(ctrl))
+
+
+def epnp_reconstruct(shared: EpnpShared, w: jnp.ndarray,
+                     refine_betas: bool = True) -> jnp.ndarray:
+    """Camera-frame point reconstruction for weight mask(s). -> (..., N, 3).
+
+    This is EPnP up to (but not including) the rigid-alignment step: the
+    reconstruction projects directly (u = x/z), which is all RANSAC
+    hypothesis scoring needs — no per-hypothesis Procrustes.
+    """
+    batch = jnp.broadcast_shapes(w.shape[:-1], shared.G.shape[:-3])
+    MtM = linalg.einsum('...n,...nij->...ij', w, shared.G)
+    MtM = jnp.broadcast_to(MtM, batch + (12, 12))
+    nv = 4 if refine_betas else 1
+    V = jnp.swapaxes(smallest_eigvecs(MtM, k=nv), -1, -2)   # (..., nv, 12)
+
+    dist_w = jnp.broadcast_to(shared.dist_w, batch + (6,))
+    ctrl1 = V[..., 0, :].reshape(batch + (4, 3))
+    dist_c = _ctrl_distances(ctrl1)
+    b1 = (jnp.sum(dist_c * dist_w, axis=-1)
+          / (jnp.sum(dist_c * dist_c, axis=-1) + _EPS))
+    if refine_betas:
+        zeros = jnp.zeros_like(b1)
+        betas = jnp.stack([b1, zeros, zeros, zeros], axis=-1)
+        betas = _refine_betas(betas, V, dist_w)
+    else:
+        betas = b1[..., None]
+
+    ctrl_cam = linalg.einsum('...k,...kj->...j', betas, V).reshape(
+        batch + (4, 3))
+    pts_cam = linalg.einsum('...na,...ai->...ni', shared.alphas, ctrl_cam)
+
+    # Resolve the global sign: weighted mean depth must be positive.
+    depth = (jnp.sum(w * pts_cam[..., 2], axis=-1)
+             / (jnp.sum(w, axis=-1) + _EPS))
+    return pts_cam * jnp.where(depth < 0, -1.0, 1.0)[..., None, None]
+
+
+def epnp_from_mask(shared: EpnpShared, w: jnp.ndarray,
+                   refine_betas: bool = True
+                   ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve EPnP for weight mask(s) using shared precomputation.
+
+    Batched: ``shared`` fields and ``w`` (..., N) must share leading dims
+    (broadcast them beforehand — e.g. shared (B, 1, ...) vs masks (B, H, N)).
+    ``refine_betas=False`` skips the beta Gauss-Newton (closed-form beta1
+    only).  Returns (R, t).
+    """
+    pts_cam = epnp_reconstruct(shared, w, refine_betas=refine_betas)
+    batch = pts_cam.shape[:-2]
+    p3 = jnp.broadcast_to(shared.points_3d, batch + shared.points_3d.shape[-2:])
+    wb = jnp.broadcast_to(w, batch + (w.shape[-1],))
+    return weighted_kabsch(p3, pts_cam, wb)
+
+
+@partial(jax.jit, static_argnames=('refine_betas',))
 def epnp_single(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
                 K: jnp.ndarray,
-                weights: jnp.ndarray | None = None
+                weights: jnp.ndarray | None = None,
+                refine_betas: bool = True
                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """EPnP for one problem. points_3d: (N, 3); points_2d: (N, 2) pixels;
     K: (3, 3); weights: (N,) nonnegative (0 excludes a point).
@@ -148,56 +322,22 @@ def epnp_single(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     """
     n = points_3d.shape[0]
     w = jnp.ones((n,), points_3d.dtype) if weights is None else weights
-    norm_2d = normalize_points_2d(points_2d, K)
-
-    ctrl_w = _control_points(points_3d, w)
-    alphas = _barycentric(points_3d, ctrl_w)
-    MtM = _build_MtM(alphas, norm_2d, w)
-    _, eigvecs = jnp.linalg.eigh(MtM)              # ascending eigenvalues
-    V = eigvecs[:, :4].T                           # (4, 12) smallest first
-
-    dist_w = _ctrl_distances(ctrl_w)
-
-    # beta1 closed form (N=1 case of the paper).
-    ctrl1 = V[0].reshape(4, 3)
-    dist_c = _ctrl_distances(ctrl1)
-    b1 = jnp.sum(dist_c * dist_w) / (jnp.sum(dist_c * dist_c) + _EPS)
-    betas0 = jnp.array([b1, 0.0, 0.0, 0.0], points_3d.dtype)
-    betas = _refine_betas(betas0, V, dist_w)
-
-    ctrl_cam = _ctrl_cam_from_betas(betas, V)
-    pts_cam = linalg.matmul(alphas, ctrl_cam)      # (N, 3)
-
-    # Resolve the global sign: weighted mean depth must be positive.
-    depth = jnp.sum(w * pts_cam[:, 2]) / (jnp.sum(w) + _EPS)
-    pts_cam = pts_cam * jnp.where(depth < 0, -1.0, 1.0)
-
-    return weighted_kabsch(points_3d, pts_cam, w)
+    shared = epnp_precompute(points_3d, points_2d, K)
+    return epnp_from_mask(shared, w, refine_betas=refine_betas)
 
 
 def epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray, K: jnp.ndarray,
-         weights: jnp.ndarray | None = None
-         ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched EPnP.  Leading batch dims on all args are vmapped.
+         weights: jnp.ndarray | None = None,
+         refine_betas: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched EPnP over any leading dims.
 
-    points_3d: (..., N, 3); points_2d: (..., N, 2); K: (3,3) or (..., 3, 3);
+    points_3d: (..., N, 3); points_2d: (..., N, 2); K: (3, 3) or broadcast;
     weights: (..., N) or None.  Returns (R (..., 3, 3), t (..., 3)).
     """
-    if points_3d.ndim == 2:
-        return epnp_single(points_3d, points_2d, K,
-                           weights if weights is not None else None)
-    batch_shape = points_3d.shape[:-2]
-    p3 = points_3d.reshape((-1,) + points_3d.shape[-2:])
-    p2 = points_2d.reshape((-1,) + points_2d.shape[-2:])
-    Kb = (jnp.broadcast_to(K, batch_shape + (3, 3)).reshape(-1, 3, 3)
-          if K.ndim >= 2 else K)
-    wb = (weights.reshape((-1,) + weights.shape[-1:])
-          if weights is not None else None)
-    if wb is None:
-        R, t = jax.vmap(lambda a, b, k: epnp_single(a, b, k))(p3, p2, Kb)
-    else:
-        R, t = jax.vmap(epnp_single)(p3, p2, Kb, wb)
-    return R.reshape(batch_shape + (3, 3)), t.reshape(batch_shape + (3,))
+    if weights is None:
+        weights = jnp.ones(points_3d.shape[:-1], points_3d.dtype)
+    shared = epnp_precompute(points_3d, points_2d, K)
+    return epnp_from_mask(shared, weights, refine_betas=refine_betas)
 
 
 def reprojection_errors(points_3d: jnp.ndarray, points_2d: jnp.ndarray,

@@ -30,6 +30,10 @@ import jax.numpy as jnp
 from esa_pose_estimation_tpu.core import linalg
 from esa_pose_estimation_tpu.core.camera import rodrigues, rotmat_to_rvec
 from esa_pose_estimation_tpu.ops.epnp import (
+    EpnpShared,
+    epnp_from_mask,
+    epnp_precompute,
+    epnp_reconstruct,
     epnp_single,
     normalize_points_2d,
     reprojection_errors,
@@ -49,54 +53,84 @@ class PnPResult(NamedTuple):
 # Levenberg-Marquardt refinement
 # ---------------------------------------------------------------------------
 
-def _residuals(theta: jnp.ndarray, points_3d: jnp.ndarray,
-               norm_2d: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Weighted reprojection residuals in normalized coords. -> (2N,)."""
-    R = rodrigues(theta[:3])
-    p_cam = linalg.einsum('ij,nj->ni', R, points_3d) + theta[3:]
-    z = jnp.maximum(p_cam[:, 2], 1e-6)
-    proj = p_cam[:, :2] / z[:, None]
-    r = (proj - norm_2d) * w[:, None]
-    return r.reshape(-1)
+def _proj_cost(R, t, points_3d, norm_2d, w):
+    """(residuals (..., N, 2), cost (...,)) in normalized coordinates."""
+    p = linalg.einsum('...ij,...nj->...ni', R, points_3d) + t[..., None, :]
+    z = jnp.maximum(p[..., 2], 1e-6)
+    proj = p[..., :2] / z[..., None]
+    r = (proj - norm_2d) * w[..., None]
+    return r, 0.5 * jnp.sum(r * r, axis=(-2, -1))
 
 
-@partial(jax.jit, static_argnames=('iters',))
-def lm_refine_single(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
-                     weights: jnp.ndarray, K: jnp.ndarray,
-                     rvec0: jnp.ndarray, t0: jnp.ndarray,
-                     iters: int = 20) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """LM refinement of one pose.  Returns (rvec, t, final_cost).
+def _skew(v):
+    """(..., 3) -> (..., 3, 3) cross-product matrix."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack([
+        jnp.stack([zero, -z, y], axis=-1),
+        jnp.stack([z, zero, -x], axis=-1),
+        jnp.stack([-y, x, zero], axis=-1)], axis=-2)
 
-    weights: (N,) per-point confidence (heatmap peak value in the reference,
-    val.py:192-202); zero weight removes a point.
+
+def _lm_refine_batched(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
+                       weights: jnp.ndarray, K: jnp.ndarray,
+                       R0: jnp.ndarray, t0: jnp.ndarray,
+                       iters: int = 20
+                       ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Damped Gauss-Newton over any leading batch dims, analytic Jacobian.
+
+    The update is parameterized as a left increment ``R <- exp(delta) R``,
+    ``t <- t + dt`` — the standard local SO(3) parameterization whose
+    Jacobian is closed-form (``dp/ddelta = -[R x]_x``), so each iteration is
+    straight-line tensor code: no jacfwd, no per-problem vmap, one batched
+    6x6 Cholesky solve.  Accept/reject and damping adaptation are
+    branchless (``where``).  Returns (R, t, final_cost).
     """
     norm_2d = normalize_points_2d(points_2d, K)
-    theta0 = jnp.concatenate([rvec0, t0])
-
-    def cost_fn(theta):
-        r = _residuals(theta, points_3d, norm_2d, weights)
-        return 0.5 * jnp.dot(r, r)
+    eye6 = jnp.eye(6, dtype=points_3d.dtype)
 
     def body(carry, _):
-        theta, lam = carry
-        r = _residuals(theta, points_3d, norm_2d, weights)
-        J = jax.jacfwd(_residuals)(theta, points_3d, norm_2d, weights)
-        H = linalg.matmul(J.T, J)
-        g = J.T @ r
-        damped = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-10))
-        step = linalg.solve_psd(damped, -g, eps=1e-12)
-        new_theta = theta + step
-        old_cost = 0.5 * jnp.dot(r, r)
-        new_cost = cost_fn(new_theta)
-        accept = new_cost < old_cost
-        theta = jnp.where(accept, new_theta, theta)
-        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-10),
-                        jnp.minimum(lam * 4.0, 1e8))
-        return (theta, lam), None
+        R, t, lam = carry
+        p = linalg.einsum('...ij,...nj->...ni', R, points_3d) + t[..., None, :]
+        z = jnp.maximum(p[..., 2], 1e-6)
+        proj = p[..., :2] / z[..., None]
+        r = (proj - norm_2d) * weights[..., None]          # (..., N, 2)
+        cost = 0.5 * jnp.sum(r * r, axis=(-2, -1))
 
-    (theta, _), _ = jax.lax.scan(body, (theta0, jnp.asarray(1e-3, theta0.dtype)),
-                                 None, length=iters)
-    return theta[:3], theta[3:], cost_fn(theta)
+        # dproj/dp: (..., N, 2, 3)
+        iz = 1.0 / z
+        zero = jnp.zeros_like(iz)
+        A = jnp.stack([
+            jnp.stack([iz, zero, -p[..., 0] * iz * iz], axis=-1),
+            jnp.stack([zero, iz, -p[..., 1] * iz * iz], axis=-1)], axis=-2)
+        A = A * weights[..., None, None]
+        Jd = linalg.einsum('...nij,...njk->...nik', A,
+                           -_skew(p - t[..., None, :]))    # (..., N, 2, 3)
+        J = jnp.concatenate([Jd, A], axis=-1)              # (..., N, 2, 6)
+
+        H = linalg.einsum('...nik,...nil->...kl', J, J)    # (..., 6, 6)
+        g = linalg.einsum('...nik,...ni->...k', J, r)      # (..., 6)
+        diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+        damped = H + lam[..., None, None] * (
+            jnp.maximum(diag, 1e-10)[..., None] * eye6)
+        step = -jnp.linalg.solve(damped, g[..., None])[..., 0]
+
+        R_new = linalg.matmul(rodrigues(step[..., :3]), R)
+        t_new = t + step[..., 3:]
+        _, new_cost = _proj_cost(R_new, t_new, points_3d, norm_2d, weights)
+        accept = (new_cost < cost)[..., None, None]
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept[..., 0], t_new, t)
+        lam = jnp.where(accept[..., 0, 0],
+                        jnp.maximum(lam / 3.0, 1e-10),
+                        jnp.minimum(lam * 4.0, 1e8))
+        return (R, t, lam), None
+
+    batch = points_3d.shape[:-2]
+    lam0 = jnp.full(batch, 1e-3, points_3d.dtype)
+    (R, t, _), _ = jax.lax.scan(body, (R0, t0, lam0), None, length=iters)
+    _, cost = _proj_cost(R, t, points_3d, norm_2d, weights)
+    return R, t, cost
 
 
 def lm_refine(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
@@ -106,91 +140,45 @@ def lm_refine(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     """Batched LM refinement from a rotation-matrix initialization.
 
     Mirrors the reference call sequence Rodrigues -> cpnp_m -> Rodrigues
-    (demo.py:263-275).  Leading batch dims vmapped.  Returns (R, t).
+    (demo.py:263-275) with scalar confidence weights (cpnp_m semantics).
+    Any leading batch dims.  Returns (R, t).
     """
-    rvec0 = rotmat_to_rvec(R0)
-    if points_3d.ndim == 2:
-        rv, t, _ = lm_refine_single(points_3d, points_2d, weights, K,
-                                    rvec0, t0, iters)
-        return rodrigues(rv), t
-    batch = points_3d.shape[:-2]
-    Kb = jnp.broadcast_to(K, batch + (3, 3))
-    fn = jax.vmap(partial(lm_refine_single, iters=iters))
-    rv, t, _ = fn(points_3d.reshape((-1,) + points_3d.shape[-2:]),
-                  points_2d.reshape((-1,) + points_2d.shape[-2:]),
-                  weights.reshape((-1, weights.shape[-1])),
-                  Kb.reshape(-1, 3, 3),
-                  rvec0.reshape(-1, 3), t0.reshape(-1, 3))
-    return (rodrigues(rv).reshape(batch + (3, 3)),
-            t.reshape(batch + (3,)))
+    R, t, _ = _lm_refine_batched(points_3d, points_2d, weights, K, R0, t0,
+                                 iters)
+    return R, t
+
+
+@partial(jax.jit, static_argnames=('iters',))
+def lm_refine_single(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
+                     weights: jnp.ndarray, K: jnp.ndarray,
+                     rvec0: jnp.ndarray, t0: jnp.ndarray,
+                     iters: int = 20
+                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-problem LM from an axis-angle init.  Returns (rvec, t, cost)."""
+    R, t, cost = _lm_refine_batched(points_3d, points_2d, weights, K,
+                                    rodrigues(rvec0), t0, iters)
+    return rotmat_to_rvec(R), t, cost
 
 
 # ---------------------------------------------------------------------------
 # RANSAC-EPnP
 # ---------------------------------------------------------------------------
 
-def _sample_masks(key: jax.Array, n_points: int, n_hyp: int,
-                  sample_size: int, valid: jnp.ndarray) -> jnp.ndarray:
-    """(n_hyp, N) one-hot-sum masks of `sample_size` distinct valid points.
+def _sample_masks(key: jax.Array, batch: tuple[int, ...], n_points: int,
+                  n_hyp: int, sample_size: int,
+                  valid: jnp.ndarray) -> jnp.ndarray:
+    """(..., n_hyp, N) masks of `sample_size` distinct valid points.
 
-    Sampling without replacement via per-hypothesis Gumbel top-k over the
-    valid set — fully parallel, no rejection loops.
+    Sampling without replacement via Gumbel top-k over the valid set —
+    fully parallel, no rejection loops.
     """
-    g = jax.random.gumbel(key, (n_hyp, n_points))
-    g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, sample_size)
-    return jax.nn.one_hot(idx, n_points).sum(axis=1)       # (n_hyp, N)
+    g = jax.random.gumbel(key, batch + (n_hyp, n_points))
+    g = jnp.where(valid[..., None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, sample_size)                # (..., H, S)
+    return jax.nn.one_hot(idx, n_points).sum(axis=-2)     # (..., H, N)
 
 
 @partial(jax.jit, static_argnames=('n_hypotheses', 'sample_size', 'lm_iters'))
-def ransac_epnp_single(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
-                       K: jnp.ndarray, key: jax.Array,
-                       valid: jnp.ndarray | None = None,
-                       reproj_threshold: float = 5.0,
-                       n_hypotheses: int = 64,
-                       sample_size: int = 6,
-                       lm_iters: int = 10) -> PnPResult:
-    """RANSAC-EPnP for one problem (static shapes, all hypotheses batched).
-
-    points_3d: (N, 3); points_2d: (N, 2) pixels; valid: (N,) bool mask of
-    usable correspondences (replaces dynamic point-set gathering).
-
-    The adaptive early-exit of the reference (confidence 0.99 loop) becomes a
-    fixed `n_hypotheses` sweep — on TPU the batched solve of all hypotheses
-    is cheaper than a data-dependent loop.
-    """
-    n = points_3d.shape[0]
-    v = jnp.ones((n,), bool) if valid is None else valid
-    vf = v.astype(points_3d.dtype)
-
-    masks = _sample_masks(key, n, n_hypotheses, sample_size, v)
-
-    Rh, th = jax.vmap(lambda m: epnp_single(points_3d, points_2d, K, m))(masks)
-    errs = jax.vmap(
-        lambda R, t: reprojection_errors(points_3d, points_2d, R, t, K)
-    )(Rh, th)                                              # (H, N)
-
-    inl = (errs < reproj_threshold) & v[None, :]
-    n_inl = inl.sum(axis=-1)
-    mean_err = jnp.sum(jnp.where(inl, errs, 0.0), axis=-1) / jnp.maximum(n_inl, 1)
-    # Rank: most inliers, then lowest mean inlier error.
-    score = n_inl.astype(errs.dtype) - mean_err / (reproj_threshold * 4.0)
-    best = jnp.argmax(score)
-
-    best_inl = inl[best]
-    # Re-fit on inliers (weight mask), falling back to all-valid if the
-    # hypothesis sweep found too few inliers to be meaningful.
-    enough = best_inl.sum() >= 4
-    fit_w = jnp.where(enough, best_inl.astype(vf.dtype), vf)
-    R_fit, t_fit = epnp_single(points_3d, points_2d, K, fit_w)
-    rv, t, cost = lm_refine_single(points_3d, points_2d, fit_w, K,
-                                   rotmat_to_rvec(R_fit), t_fit, lm_iters)
-    R = rodrigues(rv)
-    final_inl = (reprojection_errors(points_3d, points_2d, R, t, K)
-                 < reproj_threshold) & v
-    return PnPResult(R=R, t=t, inliers=final_inl, cost=cost)
-
-
 def ransac_epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
                 K: jnp.ndarray, key: jax.Array,
                 valid: jnp.ndarray | None = None,
@@ -198,32 +186,80 @@ def ransac_epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
                 n_hypotheses: int = 64,
                 sample_size: int = 6,
                 lm_iters: int = 10) -> PnPResult:
-    """Batched RANSAC-EPnP; leading batch dims on the point arrays vmapped."""
-    if points_3d.ndim == 2:
-        return ransac_epnp_single(points_3d, points_2d, K, key, valid,
-                                  reproj_threshold, n_hypotheses, sample_size,
-                                  lm_iters)
+    """RANSAC-EPnP, natively batched over any leading dims.
+
+    points_3d: (..., N, 3); points_2d: (..., N, 2) pixels; valid: (..., N)
+    bool mask of usable correspondences (replaces dynamic point-set
+    gathering).  All (batch x hypothesis) EPnP solves run as ONE flattened
+    linear-algebra batch — the adaptive early-exit loop of the reference
+    (confidence 0.99, ransac_voting_gpu.py-style) becomes a fixed
+    `n_hypotheses` sweep, which on TPU is cheaper than data-dependent
+    control flow.
+    """
     batch = points_3d.shape[:-2]
-    nb = 1
-    for s in batch:
-        nb *= s
-    keys = jax.random.split(key, nb)
-    Kb = jnp.broadcast_to(K, batch + (3, 3)).reshape(-1, 3, 3)
-    vb = (jnp.ones(points_3d.shape[:-1], bool) if valid is None else valid
-          ).reshape(nb, -1)
-    fn = jax.vmap(partial(ransac_epnp_single,
-                          reproj_threshold=reproj_threshold,
-                          n_hypotheses=n_hypotheses,
-                          sample_size=sample_size, lm_iters=lm_iters))
-    res = fn(points_3d.reshape((nb,) + points_3d.shape[-2:]),
-             points_2d.reshape((nb,) + points_2d.shape[-2:]),
-             Kb, keys, vb)
-    return PnPResult(
-        R=res.R.reshape(batch + (3, 3)),
-        t=res.t.reshape(batch + (3,)),
-        inliers=res.inliers.reshape(batch + (points_3d.shape[-2],)),
-        cost=res.cost.reshape(batch),
+    n = points_3d.shape[-2]
+    v = jnp.ones(batch + (n,), bool) if valid is None else valid
+    vf = v.astype(points_3d.dtype)
+
+    masks = _sample_masks(key, batch, n, n_hypotheses, sample_size, v)
+
+    # Control frame / barycentric coords / per-point M^T M contributions are
+    # shared across hypotheses; each hypothesis is one masked contraction +
+    # eigh + Procrustes.  Hypotheses skip the beta Gauss-Newton — closed-form
+    # EPnP classifies inliers fine and the final LM refit recovers precision.
+    shared = epnp_precompute(points_3d, points_2d, K)
+    shared_h = EpnpShared(
+        points_3d=shared.points_3d[..., None, :, :],
+        alphas=shared.alphas[..., None, :, :],
+        G=shared.G[..., None, :, :, :],
+        dist_w=shared.dist_w[..., None, :],
     )
+    # Score hypotheses straight from the EPnP camera-frame reconstruction
+    # (u = x/z): no per-hypothesis Procrustes, no rotation matrices.  The
+    # reconstruction is exactly rigid for all-inlier samples, so inlier
+    # classification is unchanged.
+    pts_cam = epnp_reconstruct(shared_h, masks, refine_betas=False)
+    z = jnp.where(jnp.abs(pts_cam[..., 2]) < 1e-6, 1e-6, pts_cam[..., 2])
+    proj = pts_cam[..., :2] / z[..., None]                        # (...,H,N,2)
+    norm_2d = normalize_points_2d(points_2d, K)[..., None, :, :]
+    fx, fy = K[..., 0, 0], K[..., 1, 1]
+    dpix = (proj - norm_2d) * jnp.stack(
+        [jnp.broadcast_to(fx, norm_2d.shape[:-1]),
+         jnp.broadcast_to(fy, norm_2d.shape[:-1])], axis=-1)
+    errs = jnp.linalg.norm(dpix, axis=-1)                         # (..., H, N)
+
+    inl = (errs < reproj_threshold) & v[..., None, :]
+    n_inl = inl.sum(axis=-1)                                      # (..., H)
+    mean_err = (jnp.sum(jnp.where(inl, errs, 0.0), axis=-1)
+                / jnp.maximum(n_inl, 1))
+    # Rank: most inliers, then lowest mean inlier error.
+    score = n_inl.astype(errs.dtype) - mean_err / (reproj_threshold * 4.0)
+    best = jnp.argmax(score, axis=-1)                             # (...,)
+
+    best_inl = jnp.take_along_axis(
+        inl, best[..., None, None], axis=-2)[..., 0, :]           # (..., N)
+    # Re-fit on inliers (weight mask), falling back to all-valid if the
+    # hypothesis sweep found too few inliers to be meaningful.
+    enough = (best_inl.sum(axis=-1) >= 4)[..., None]
+    fit_w = jnp.where(enough, best_inl.astype(vf.dtype), vf)
+    R_fit, t_fit = epnp_from_mask(shared, fit_w)
+    R, t, cost = _lm_refine_batched(points_3d, points_2d, fit_w, K,
+                                    R_fit, t_fit, lm_iters)
+    final_inl = (reprojection_errors(points_3d, points_2d, R, t, K)
+                 < reproj_threshold) & v
+    return PnPResult(R=R, t=t, inliers=final_inl, cost=cost)
+
+
+def ransac_epnp_single(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
+                       K: jnp.ndarray, key: jax.Array,
+                       valid: jnp.ndarray | None = None,
+                       reproj_threshold: float = 5.0,
+                       n_hypotheses: int = 64,
+                       sample_size: int = 6,
+                       lm_iters: int = 10) -> PnPResult:
+    """Single-problem convenience wrapper around :func:`ransac_epnp`."""
+    return ransac_epnp(points_3d, points_2d, K, key, valid,
+                       reproj_threshold, n_hypotheses, sample_size, lm_iters)
 
 
 # ---------------------------------------------------------------------------
