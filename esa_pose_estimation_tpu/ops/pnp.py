@@ -160,6 +160,125 @@ def lm_refine_single(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     return rotmat_to_rvec(R), t, cost
 
 
+def _lm_refine_cov(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
+                   Wmat: jnp.ndarray, K: jnp.ndarray,
+                   R0: jnp.ndarray, t0: jnp.ndarray,
+                   iters: int = 20
+                   ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Damped Gauss-Newton with per-point 2x2 residual weight matrices.
+
+    Residual per point: ``W_i @ (proj_i - obs_i)`` in pixels — the Ceres
+    uncertainty-PnP cost (reference:
+    lib/utils/extend_utils/src/uncertainty_pnp.cpp:7-55, weights
+    ``[wxx wxy; wxy wyy]``).  Internally solves in normalized coordinates
+    with the focal scaling folded into W (same optimum, better f32
+    conditioning).
+    """
+    fx, fy = K[..., 0, 0], K[..., 1, 1]
+    F = jnp.stack([
+        jnp.stack([fx, jnp.zeros_like(fx)], axis=-1),
+        jnp.stack([jnp.zeros_like(fy), fy], axis=-1)], axis=-2)
+    Weff = linalg.matmul(Wmat, F[..., None, :, :])      # (..., N, 2, 2)
+    norm_2d = normalize_points_2d(points_2d, K)
+    eye6 = jnp.eye(6, dtype=points_3d.dtype)
+
+    def residual(R, t):
+        p = linalg.einsum('...ij,...nj->...ni', R, points_3d) + t[..., None, :]
+        z = jnp.maximum(p[..., 2], 1e-6)
+        proj = p[..., :2] / z[..., None]
+        r = linalg.einsum('...nij,...nj->...ni', Weff, proj - norm_2d)
+        return p, z, r
+
+    def body(carry, _):
+        R, t, lam = carry
+        p, z, r = residual(R, t)
+        cost = 0.5 * jnp.sum(r * r, axis=(-2, -1))
+        iz = 1.0 / z
+        zero = jnp.zeros_like(iz)
+        A = jnp.stack([
+            jnp.stack([iz, zero, -p[..., 0] * iz * iz], axis=-1),
+            jnp.stack([zero, iz, -p[..., 1] * iz * iz], axis=-1)], axis=-2)
+        A = linalg.einsum('...nij,...njk->...nik', Weff, A)
+        Jd = linalg.einsum('...nij,...njk->...nik', A,
+                           -_skew(p - t[..., None, :]))
+        J = jnp.concatenate([Jd, A], axis=-1)               # (..., N, 2, 6)
+        H = linalg.einsum('...nik,...nil->...kl', J, J)
+        g = linalg.einsum('...nik,...ni->...k', J, r)
+        diag = jnp.diagonal(H, axis1=-2, axis2=-1)
+        damped = H + lam[..., None, None] * (
+            jnp.maximum(diag, 1e-10)[..., None] * eye6)
+        step = -jnp.linalg.solve(damped, g[..., None])[..., 0]
+        R_new = linalg.matmul(rodrigues(step[..., :3]), R)
+        t_new = t + step[..., 3:]
+        _, _, r_new = residual(R_new, t_new)
+        new_cost = 0.5 * jnp.sum(r_new * r_new, axis=(-2, -1))
+        accept = (new_cost < cost)[..., None, None]
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept[..., 0], t_new, t)
+        lam = jnp.where(accept[..., 0, 0],
+                        jnp.maximum(lam / 3.0, 1e-10),
+                        jnp.minimum(lam * 4.0, 1e8))
+        return (R, t, lam), None
+
+    batch = points_3d.shape[:-2]
+    lam0 = jnp.full(batch, 1e-3, points_3d.dtype)
+    (R, t, _), _ = jax.lax.scan(body, (R0, t0, lam0), None, length=iters)
+    _, _, r = residual(R, t)
+    return R, t, 0.5 * jnp.sum(r * r, axis=(-2, -1))
+
+
+def cov_to_weight(cov: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """2x2 covariance -> sqrtm-inverse weight matrix, closed form, batched.
+
+    Parity with the reference's covariance-to-weight preprocessing for
+    uncertainty PnP (evaluation.py:471-508 feeds scipy sqrtm-inverses of
+    the voting covariances into the Ceres solver).  For SPD M:
+    sqrt(M) = (M + sqrt(det) I) / sqrt(tr + 2 sqrt(det)); the weight is
+    inv(sqrt(M + eps I)).
+    """
+    a = cov[..., 0, 0] + eps
+    b = cov[..., 0, 1]
+    c = cov[..., 1, 1] + eps
+    s = jnp.sqrt(jnp.maximum(a * c - b * b, 1e-20))
+    tau = jnp.sqrt(jnp.maximum(a + c + 2.0 * s, 1e-20))
+    # sqrt(M) = [[a+s, b], [b, c+s]] / tau; invert it in closed form.
+    det_sq = (a + s) * (c + s) - b * b
+    inv_det = tau / jnp.maximum(det_sq, 1e-20)
+    w00 = (c + s) * inv_det
+    w11 = (a + s) * inv_det
+    w01 = -b * inv_det
+    return jnp.stack([
+        jnp.stack([w00, w01], axis=-1),
+        jnp.stack([w01, w11], axis=-1)], axis=-2)
+
+
+def uncertainty_pnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
+                    covariance: jnp.ndarray, K: jnp.ndarray,
+                    key: jax.Array | None = None,
+                    n_hypotheses: int = 32,
+                    iters: int = 20) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Covariance-weighted PnP (the Ceres ``uncertainty_pnp`` equivalent,
+    reference: lib/utils/extend_utils/extend_utils.py:64-115 +
+    src/uncertainty_pnp.cpp:61-92).
+
+    points_3d: (..., N, 3); points_2d: (..., N, 2); covariance:
+    (..., N, 2, 2) per-keypoint 2D covariances (e.g. from
+    ops.voting.estimate_voting_distribution_with_mean).
+
+    Init: RANSAC-EPnP (the reference seeds with cv2 P3P on the 4 most
+    confident points, extend_utils.py:84-101 — same role).  Refine: LM on
+    the matrix-weighted reprojection residual.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    init = ransac_epnp(points_3d, points_2d, K, key,
+                       n_hypotheses=n_hypotheses)
+    W = cov_to_weight(covariance)
+    R, t, _ = _lm_refine_cov(points_3d, points_2d, W, K, init.R, init.t,
+                             iters)
+    return R, t
+
+
 # ---------------------------------------------------------------------------
 # RANSAC-EPnP
 # ---------------------------------------------------------------------------
