@@ -74,6 +74,7 @@ class ConvBN(nn.Module):
     relu: bool = True
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
+    bn_momentum: float = 0.99
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -81,7 +82,8 @@ class ConvBN(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=self.kernel // 2, use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=self.bn_momentum,
                          epsilon=1e-5, dtype=jnp.float32,
                          axis_name=self.axis_name)(x)
         if self.relu:

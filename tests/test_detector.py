@@ -1,0 +1,133 @@
+"""Detector + NMS tests: IoU math, greedy suppression, target/decode round
+trip, and a short training run that must localize a synthetic target."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from esa_pose_estimation_tpu.models import detector as det
+from esa_pose_estimation_tpu.ops import nms
+
+
+class TestIoU:
+    def test_known_values(self):
+        a = jnp.asarray([[0.0, 0, 10, 10]])
+        b = jnp.asarray([[0.0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+        m = np.asarray(nms.iou_matrix(a, b))[0]
+        np.testing.assert_allclose(m, [1.0, 25 / 175, 0.0], atol=1e-6)
+
+
+class TestNms:
+    def test_suppresses_overlaps(self):
+        boxes = jnp.asarray([
+            [0.0, 0, 10, 10],
+            [1, 1, 11, 11],      # overlaps first
+            [20, 20, 30, 30],
+            [21, 21, 31, 31],    # overlaps third
+        ])
+        scores = jnp.asarray([0.9, 0.8, 0.7, 0.95])
+        b, s, v = nms.batched_nms(boxes, scores, iou_threshold=0.3,
+                                  score_threshold=0.1, max_outputs=4)
+        kept = np.asarray(s)[np.asarray(v)]
+        np.testing.assert_allclose(sorted(kept, reverse=True), [0.95, 0.9],
+                                   atol=1e-6)
+
+    def test_batched(self):
+        boxes = jnp.tile(jnp.asarray([[[0.0, 0, 10, 10], [1, 1, 11, 11]]]),
+                         (3, 1, 1))
+        scores = jnp.asarray([[0.9, 0.8]] * 3)
+        _, s, v = nms.batched_nms(boxes, scores, max_outputs=2)
+        assert np.asarray(v).sum() == 3  # one survivor per batch element
+
+    def test_score_threshold(self):
+        boxes = jnp.asarray([[0.0, 0, 10, 10], [20, 20, 30, 30]])
+        scores = jnp.asarray([0.9, 0.1])
+        _, s, v = nms.batched_nms(boxes, scores, score_threshold=0.25,
+                                  max_outputs=4)
+        assert np.asarray(v).sum() == 1
+
+
+class TestDetector:
+    def test_target_decode_roundtrip(self):
+        # Perfect targets fed through the decoder recover the input box.
+        bboxes = jnp.asarray([[100.0, 80, 300, 240]])
+        stride = 16
+        tgt = det.detection_targets(bboxes, (20, 20), stride)
+        outputs = {
+            'heatmap': jnp.log(jnp.maximum(tgt['heatmap'], 1e-6) /
+                               jnp.maximum(1 - tgt['heatmap'], 1e-6)),
+            'offset': tgt['offset'],
+            'size': tgt['size'],
+        }
+        boxes, scores, valid = det.decode_detections(outputs, stride,
+                                                     max_outputs=4)
+        assert bool(valid[0, 0])
+        np.testing.assert_allclose(np.asarray(boxes[0, 0]),
+                                   [100, 80, 300, 240], atol=1.0)
+
+    def test_forward_shapes(self):
+        model = det.TinyDetector(width=8, stride=16)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 1)),
+                       train=False)
+        out = model.apply(v, jnp.zeros((2, 128, 128, 1)), train=False)
+        assert out['heatmap'].shape == (2, 8, 8, 1)
+        assert out['offset'].shape == (2, 8, 8, 2)
+
+    @pytest.mark.slow
+    def test_learns_to_localize(self):
+        # Train briefly on a fixed synthetic scene: bright blob -> its box.
+        model = det.TinyDetector(width=8, stride=16)
+        rng = np.random.default_rng(0)
+
+        def scene(n):
+            imgs = np.zeros((n, 64, 64, 1), np.float32)
+            boxes = np.zeros((n, 4), np.float32)
+            for i in range(n):
+                cx, cy = rng.uniform(16, 48, 2)
+                w = h = rng.uniform(10, 20)
+                ys, xs = np.mgrid[0:64, 0:64]
+                imgs[i, :, :, 0] = np.exp(-(((xs - cx) / (w / 3)) ** 2
+                                            + ((ys - cy) / (h / 3)) ** 2))
+                boxes[i] = [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2]
+            return jnp.asarray(imgs), jnp.asarray(boxes)
+
+        variables = model.init(jax.random.PRNGKey(1),
+                               jnp.zeros((1, 64, 64, 1)), train=False)
+        tx = optax.adam(3e-3)
+        opt_state = tx.init(variables['params'])
+
+        @jax.jit
+        def step(params, batch_stats, opt_state, imgs, boxes):
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {'params': p, 'batch_stats': batch_stats}, imgs,
+                    train=True, mutable=['batch_stats'])
+                tgt = det.detection_targets(boxes, (4, 4), 16)
+                return det.detection_loss(out, tgt), mut
+            (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state)
+            return (optax.apply_updates(params, updates),
+                    mut['batch_stats'], opt_state, loss)
+
+        params = variables['params']
+        batch_stats = variables['batch_stats']
+        imgs, boxes = scene(16)
+        losses = []
+        for _ in range(60):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, imgs, boxes)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          imgs[:4], train=False)
+        pred_boxes, scores, valid = det.decode_detections(
+            out, 16, score_threshold=0.05, max_outputs=1)
+        centers_pred = np.asarray((pred_boxes[:, 0, :2]
+                                   + pred_boxes[:, 0, 2:]) / 2)
+        centers_gt = np.asarray((boxes[:4, :2] + boxes[:4, 2:]) / 2)
+        err = np.linalg.norm(centers_pred - centers_gt, axis=-1)
+        assert err.mean() < 8.0, err
