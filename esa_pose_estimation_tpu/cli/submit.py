@@ -1,0 +1,92 @@
+"""Submission pipeline — the reference ``val.py`` as a CLI.
+
+Runs batched inference over the synthetic ``test`` and ``real_test``
+partitions (no labels), applies the competition keypoint-selection rule
+(confidence > 0.8 with a floor of 24 keypoints, val.py:172-175), solves
+poses, and exports the leaderboard CSV via SubmissionWriter
+(submission.py parity).
+
+Usage:
+  python -m esa_pose_estimation_tpu.cli.submit --workdir runs/esa \
+      --test-pkl data/test.pkl --real-test-pkl data/real_test.pkl \
+      --image-root /data/speed/images/ [--checkpoint best_rotate]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esa_pose_estimation_tpu.data import speed as speed_data
+from esa_pose_estimation_tpu.eval.submission import SubmissionWriter
+from esa_pose_estimation_tpu.models import HRNet
+from esa_pose_estimation_tpu.pipeline import infer_poses
+from esa_pose_estimation_tpu.train import state as state_mod
+from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
+from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+
+def run_partition(model, variables, records, points_3d, writer, real, key,
+                  batch_size=32, crop_size=128):
+    loader = speed_data.BatchLoader(records,
+                                    min(batch_size, len(records)),
+                                    shuffle=False, drop_last=False)
+    for i, batch in enumerate(loader):
+        out = infer_poses(model, variables,
+                          jnp.asarray(batch['frame']),
+                          jnp.asarray(batch['bbox']),
+                          points_3d, jax.random.fold_in(key, i),
+                          crop_size=crop_size,
+                          conf_threshold=0.8, min_keypoints=24)
+        writer.append_batch(batch['name'], np.asarray(out.quat),
+                            np.asarray(out.trans), real=real)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--workdir', default='runs/esa')
+    ap.add_argument('--test-pkl', required=True)
+    ap.add_argument('--real-test-pkl', default=None)
+    ap.add_argument('--image-root', default='')
+    ap.add_argument('--checkpoint', default='best_rotate')
+    ap.add_argument('--batch-size', type=int, default=32)
+    ap.add_argument('--crop-size', type=int, default=128)
+    ap.add_argument('--suffix', default=None)
+    ap.add_argument('--tiny', action='store_true')
+    args = ap.parse_args(argv)
+
+    model_cfg = cfg_mod.hrnet_tiny() if args.tiny else cfg_mod.hrnet_esa()
+    model = HRNet(model_cfg, dtype=jnp.bfloat16)
+    cfg = cfg_mod.TrainConfig(crop_size=args.crop_size)
+    st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                      (1, args.crop_size, args.crop_size, 1))
+    ckpt = CheckpointManager(f'{args.workdir}/net_esa')
+    st, epoch = ckpt.restore(args.checkpoint, st)
+    print(f'loaded checkpoint {args.checkpoint} (epoch {epoch - 1})')
+    variables = {'params': st.params, 'batch_stats': st.batch_stats}
+
+    writer = SubmissionWriter()
+    key = jax.random.PRNGKey(7)
+
+    test_records = speed_data.records_from_pickle(args.test_pkl,
+                                                  args.image_root)
+    points_3d = jnp.asarray(test_records[0].keypoints_3d)
+    run_partition(model, variables, test_records, points_3d, writer,
+                  real=False, key=key, batch_size=args.batch_size,
+                  crop_size=args.crop_size)
+    if args.real_test_pkl:
+        real_records = speed_data.records_from_pickle(args.real_test_pkl,
+                                                      args.image_root)
+        run_partition(model, variables, real_records, points_3d, writer,
+                      real=True, key=jax.random.fold_in(key, 1),
+                      batch_size=args.batch_size, crop_size=args.crop_size)
+    path = writer.export(out_dir=args.workdir, suffix=args.suffix)
+    print(f'Submission saved to {path}.')
+    return path
+
+
+if __name__ == '__main__':
+    main()

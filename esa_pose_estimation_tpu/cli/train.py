@@ -1,0 +1,260 @@
+"""ESA training driver — the reference ``main.py:237-424`` as a CLI.
+
+End-to-end: HRNet-W32+CBAM, Adam with the stepped schedule, weighted
+HeatmapWing loss, periodic SPEED-score eval, rolling ``last`` +
+``best_tran``/``best_rotate`` checkpoints, TSV/JSONL logging, optional TCP
+telemetry.  Runs on a device mesh (batch sharded over 'data').
+
+Data: pass ``--train-pkl/--image-root`` for the real SPEED pickles
+(data_load4.py:90-101 layout) or omit for the self-contained synthetic
+dataset (data/synthetic.py), which exercises the identical compute path.
+
+Usage:
+  python -m esa_pose_estimation_tpu.cli.train --workdir runs/esa \
+      [--train-pkl data/train.pkl --test-pkl data/test.pkl \
+       --image-root /data/speed/images/train/] \
+      [--epochs 100] [--batch-size 32] [--synthetic-size 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esa_pose_estimation_tpu.data import pipeline as data_pipeline
+from esa_pose_estimation_tpu.data import speed as speed_data
+from esa_pose_estimation_tpu.data import synthetic
+from esa_pose_estimation_tpu.eval.evaluator import AverageMeter
+from esa_pose_estimation_tpu.eval.speed_score import speed_score_from_matrices
+from esa_pose_estimation_tpu.models import HRNet
+from esa_pose_estimation_tpu.obs import JsonlLogger, TcpPusher, TsvLogger
+from esa_pose_estimation_tpu.parallel import make_mesh, replicate, shard_batch
+from esa_pose_estimation_tpu.pipeline import infer_poses
+from esa_pose_estimation_tpu.train import state as state_mod
+from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
+from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+
+def evaluate(model, variables, eval_batches, points_3d, key,
+             crop_size: int = 128):
+    """SPEED-score evaluation loop (demo.py:79-369 parity, batched)."""
+    score_t = AverageMeter()
+    score_r = AverageMeter()
+    pix_err = AverageMeter()
+    for i, batch in enumerate(eval_batches):
+        out = infer_poses(model, variables,
+                          jnp.asarray(batch['frame']),
+                          jnp.asarray(batch['bbox']),
+                          points_3d, jax.random.fold_in(key, i),
+                          crop_size=crop_size, conf_threshold=0.6,
+                          min_keypoints=0)
+        scores = speed_score_from_matrices(
+            out.R, out.trans, jnp.asarray(batch['quat']),
+            jnp.asarray(batch['trans']))
+        st = np.asarray(scores.score_t)
+        sr = np.asarray(scores.score_r)
+        score_t.update(float(st.mean()), n=len(st))
+        score_r.update(float(sr.mean()), n=len(sr))
+        if 'keypoints_2d' in batch:
+            err = np.linalg.norm(
+                np.asarray(out.keypoints_2d) - batch['keypoints_2d'],
+                axis=-1)
+            sel = np.asarray(out.selected)
+            if sel.any():
+                pix_err.update(float(err[sel].mean()), n=int(sel.sum()))
+    return {'score_t': score_t.avg, 'score_r': score_r.avg,
+            'speed': score_t.avg + score_r.avg, 'pix_err': pix_err.avg}
+
+
+def make_synthetic_epoch(key, n_batches, batch_size, points_3d, crop_size):
+    """Generator of synthetic device batches (one spacecraft per frame)."""
+    for i in range(n_batches):
+        k = jax.random.fold_in(key, i)
+        batch = synthetic.make_batch(k, batch_size, points_3d,
+                                     crop_size=crop_size)
+        yield ({'image': batch['image'], 'heatmaps': batch['heatmaps'],
+                'weights': batch['weights']},
+               batch)
+
+
+def train(args) -> dict:
+    cfg = cfg_mod.TrainConfig(batch_size=args.batch_size,
+                              crop_size=args.crop_size,
+                              num_epochs=args.epochs)
+    workdir = args.workdir
+    os.makedirs(workdir, exist_ok=True)
+    class_name = 'esa'
+
+    mesh = make_mesh()
+    model_cfg = (cfg_mod.hrnet_tiny() if args.tiny else cfg_mod.hrnet_esa())
+    dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' else jnp.float32
+    model = HRNet(model_cfg, dtype=dtype)
+
+    # data -----------------------------------------------------------------
+    use_real = args.train_pkl is not None
+    if use_real:
+        train_records = speed_data.records_from_pickle(args.train_pkl,
+                                                       args.image_root)
+        test_records = (speed_data.records_from_pickle(args.test_pkl,
+                                                       args.image_root)
+                        if args.test_pkl else train_records[:64])
+        points_3d = jnp.asarray(train_records[0].keypoints_3d)
+        steps_per_epoch = max(len(train_records) // cfg.batch_size, 1)
+    else:
+        points_3d = synthetic.spacecraft_points(model_cfg.num_keypoints)
+        steps_per_epoch = max(args.synthetic_size // cfg.batch_size, 1)
+
+    # state / logging / checkpoints -----------------------------------------
+    st = state_mod.create_train_state(
+        model, cfg, jax.random.PRNGKey(cfg.seed),
+        (1, cfg.crop_size, cfg.crop_size, 1), steps_per_epoch)
+    ckpt = CheckpointManager(os.path.join(workdir, f'net_{class_name}'))
+    st, begin_epoch = ckpt.restore('last', st)
+
+    logger = TsvLogger(os.path.join(workdir, f'log_{class_name}.txt'),
+                       resume=True)
+    logger.set_names(['Epoch', 'LR', 'Train Loss'])
+    events = JsonlLogger(os.path.join(workdir, 'events.jsonl'))
+    tcp = TcpPusher(host=args.tcp_host)
+    tcp.create_socket(classname=class_name)
+
+    step_fn = state_mod.make_sharded_train_step(mesh, cfg.loss_weight_w)
+    st = replicate(st, mesh)
+    sched = state_mod.lr_schedule(cfg, steps_per_epoch)
+
+    best: dict[str, float] = {}
+    result = {}
+    key = jax.random.PRNGKey(1234)
+    for epoch in range(begin_epoch, cfg.num_epochs):
+        t0 = time.time()
+        losses = AverageMeter()
+        ekey = jax.random.fold_in(key, epoch)
+        if use_real:
+            loader = speed_data.BatchLoader(train_records, cfg.batch_size,
+                                            shuffle=True, seed=epoch)
+            batch_iter = (
+                (data_pipeline.build_batch(
+                    jnp.asarray(b['frame']), jnp.asarray(b['bbox']),
+                    jnp.asarray(b['keypoints_2d']),
+                    jax.random.fold_in(ekey, j), crop_size=cfg.crop_size,
+                    train=True), b)
+                for j, b in enumerate(loader))
+        else:
+            batch_iter = make_synthetic_epoch(
+                ekey, steps_per_epoch, cfg.batch_size, points_3d,
+                cfg.crop_size)
+
+        for i, (train_batch, _) in enumerate(batch_iter):
+            train_batch = {k: train_batch[k]
+                           for k in ('image', 'heatmaps', 'weights')}
+            st, metrics = step_fn(st, shard_batch(train_batch, mesh))
+            losses.update(float(metrics['loss']))
+            if i % 10 == 9:
+                print(f'{class_name} [{epoch + 1}, {i + 1}] '
+                      f'loss : {losses.avg:.6f}')
+
+        lr = float(sched(st.step))
+        logger.append([epoch + 1, lr, losses.avg])
+        tcp.send(f'{epoch + 1}\t{lr}\t{round(losses.avg, 10)}\t',
+                 type='log', classname=class_name)
+        events.log('epoch', epoch=epoch + 1, lr=lr, loss=losses.avg,
+                   seconds=time.time() - t0)
+        best = ckpt.save_rolling(st, epoch)
+
+        if epoch > cfg.eval_after or epoch % cfg.eval_every == cfg.eval_every - 1:
+            variables = {'params': st.params, 'batch_stats': st.batch_stats}
+            if use_real:
+                eval_loader = speed_data.BatchLoader(
+                    test_records, min(cfg.batch_size, len(test_records)),
+                    shuffle=False)
+                result = evaluate(model, variables, eval_loader, points_3d,
+                                  jax.random.fold_in(key, 777),
+                                  cfg.crop_size)
+            else:
+                eval_batches = []
+                for j in range(4):
+                    b = synthetic.make_batch(
+                        jax.random.fold_in(key, 9000 + j), cfg.batch_size,
+                        points_3d, crop_size=cfg.crop_size)
+                    eval_batches.append({
+                        'frame': b['image'],  # unused by evaluate
+                        'bbox': b['bbox'], 'quat': b['quat'],
+                        'trans': b['trans'], '_raw': b})
+                result = _evaluate_synthetic(model, variables, eval_batches,
+                                             points_3d, key, cfg.crop_size)
+            best = ckpt.save_rolling(st, epoch,
+                                     score_tran=result['score_t'],
+                                     score_rotate=result['score_r'],
+                                     best=best)
+            events.log('eval', epoch=epoch + 1, **result)
+            tcp.send('\t'.join(str(v) for v in
+                               [class_name, epoch, result['score_t'],
+                                result['score_r']]),
+                     type='load', classname=class_name)
+            print(f"eval epoch {epoch + 1}: speed={result['speed']:.5f} "
+                  f"(t={result['score_t']:.5f}, r={result['score_r']:.5f})")
+
+    logger.close()
+    events.close()
+    tcp.close()
+    print('Finished Training')
+    return result
+
+
+def _evaluate_synthetic(model, variables, eval_batches, points_3d, key,
+                        crop_size):
+    """Synthetic eval path: frames are regenerated on device."""
+    score_t = AverageMeter()
+    score_r = AverageMeter()
+    for i, eb in enumerate(eval_batches):
+        raw = eb['_raw']
+        # re-run the inference pipeline from heatmap predictions
+        out = infer_poses(model, variables, _frames_from(raw), eb['bbox'],
+                          points_3d, jax.random.fold_in(key, i),
+                          crop_size=crop_size, min_keypoints=0)
+        scores = speed_score_from_matrices(out.R, out.trans,
+                                           eb['quat'], eb['trans'])
+        score_t.update(float(jnp.mean(scores.score_t)))
+        score_r.update(float(jnp.mean(scores.score_r)))
+    return {'score_t': score_t.avg, 'score_r': score_r.avg,
+            'speed': score_t.avg + score_r.avg, 'pix_err': float('nan')}
+
+
+def _frames_from(raw_batch):
+    """Recover full frames for synthetic eval batches."""
+    import jax.numpy as jnp
+
+    from esa_pose_estimation_tpu.data import synthetic as syn
+    # The synthetic batch keeps crops, not frames; re-render frames from
+    # the stored pose is wasteful — instead reuse the crop directly by
+    # passing a full-frame bbox.  Simpler: re-make samples deterministically
+    # is not possible here, so render frames from stored 2D keypoints.
+    kp = raw_batch['keypoints_crop'] / raw_batch['rate'][:, None, None] + \
+        raw_batch['origin'][:, None, :].astype(jnp.float32)
+    return jax.vmap(lambda k: syn.render_frame(k))(kp)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--workdir', default='runs/esa')
+    ap.add_argument('--train-pkl', default=None)
+    ap.add_argument('--test-pkl', default=None)
+    ap.add_argument('--image-root', default='')
+    ap.add_argument('--epochs', type=int, default=100)
+    ap.add_argument('--batch-size', type=int, default=32)
+    ap.add_argument('--crop-size', type=int, default=128)
+    ap.add_argument('--synthetic-size', type=int, default=2048)
+    ap.add_argument('--tcp-host', default=None)
+    ap.add_argument('--tiny', action='store_true',
+                    help='tiny model/config for smoke tests')
+    args = ap.parse_args(argv)
+    return train(args)
+
+
+if __name__ == '__main__':
+    main()

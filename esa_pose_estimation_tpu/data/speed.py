@@ -1,0 +1,181 @@
+"""SPEED dataset ingestion (ESA/Kelvins 2019).
+
+Host-side IO for the real dataset, device-side everything else.  Covers the
+reference's three ingestion paths:
+
+* competition JSON splits (reference: utils.py:42-65
+  ``process_json_dataset`` — train.json / test.json / real_test.json with
+  ``q_vbs2tango`` / ``r_Vo2To_vbs_true`` labels);
+* the precomputed pickle records consumed by the dataloaders
+  (reference: data_load4.py:90-101 — dicts with ``rgb_pth``, ``bbox``,
+  ``sift`` 2D keypoints, ``sift3d`` model points, ``K``, ``RT``, ``qua``);
+* grayscale PNG frames (reference: data_load4.py:47-51 ``read_mask_np``).
+
+Design split vs the reference: the reference's DataLoader workers do crop /
+heatmap-render / normalize on CPU per sample (SURVEY §3.4); here the host
+only decodes PNGs and ships raw frames + boxes — cropping, target rendering
+and augmentation are the batched device ops in ops/crop.py, ops/heatmap.py
+and data/augment.py.  ``BatchLoader`` overlaps host decode of batch i+1
+with device compute of batch i via a background thread + ``device_put``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+import numpy as np
+
+
+@dataclass
+class SpeedSplits:
+    partitions: dict[str, list[str]]
+    labels: dict[str, dict[str, list[float]]]
+
+
+def process_json_dataset(root_dir: str) -> SpeedSplits:
+    """Parse the competition JSON metadata (utils.py:42-65 parity)."""
+    with open(os.path.join(root_dir, 'train.json')) as f:
+        train = json.load(f)
+    with open(os.path.join(root_dir, 'test.json')) as f:
+        test = json.load(f)
+    with open(os.path.join(root_dir, 'real_test.json')) as f:
+        real_test = json.load(f)
+
+    partitions = {'train': [], 'test': [], 'real_test': []}
+    labels: dict[str, dict[str, list[float]]] = {}
+    for ann in train:
+        partitions['train'].append(ann['filename'])
+        labels[ann['filename']] = {'q': ann['q_vbs2tango'],
+                                   'r': ann['r_Vo2To_vbs_true']}
+    for ann in test:
+        partitions['test'].append(ann['filename'])
+    for ann in real_test:
+        partitions['real_test'].append(ann['filename'])
+    return SpeedSplits(partitions=partitions, labels=labels)
+
+
+def load_pickle_records(path: str) -> list[dict[str, Any]]:
+    """Load the precomputed per-image records (data/train.pkl etc.,
+    data_load4.py:90-101 layout)."""
+    with open(path, 'rb') as f:
+        return pickle.load(f, encoding='bytes')
+
+
+def save_pickle_records(path: str, records: list[dict[str, Any]]) -> None:
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    with open(path, 'wb') as f:
+        pickle.dump(records, f)
+
+
+def read_gray_image(path: str) -> np.ndarray:
+    """Grayscale uint8 frame (read_mask_np parity, data_load4.py:47-51)."""
+    from PIL import Image
+    return np.asarray(Image.open(path), dtype=np.uint8)
+
+
+@dataclass
+class Record:
+    """One training/eval example in host memory."""
+    image_path: str
+    bbox: np.ndarray               # (4,) [x1, y1, x2, y2]
+    keypoints_2d: np.ndarray | None  # (K, 2) full-frame ('sift')
+    keypoints_3d: np.ndarray       # (K, 3) model points ('sift3d')
+    K: np.ndarray                  # (3, 3)
+    quat: np.ndarray | None        # (4,) (w, x, y, z)
+    trans: np.ndarray | None       # (3,)
+    name: str = ''
+
+
+def records_from_pickle(path: str, image_root: str = '') -> list[Record]:
+    out = []
+    for des in load_pickle_records(path):
+        rt = des.get('RT')
+        out.append(Record(
+            image_path=os.path.join(image_root, des['rgb_pth']),
+            bbox=np.asarray(des['bbox'], np.float32),
+            keypoints_2d=(np.asarray(des['sift'], np.float32).reshape(-1, 2)
+                          if 'sift' in des else None),
+            keypoints_3d=np.asarray(des['sift3d'], np.float32).reshape(-1, 3),
+            K=np.asarray(des['K'], np.float32),
+            quat=(np.asarray(des['qua'], np.float32)
+                  if des.get('qua') is not None else None),
+            trans=(np.asarray(rt, np.float32)[:, 3]
+                   if rt is not None else None),
+            name=os.path.basename(des['rgb_pth']),
+        ))
+    return out
+
+
+class BatchLoader:
+    """Background-threaded host loader: PNG decode + stacking off the main
+    thread, raw frames shipped to device.  The role DataLoader(num_workers=4)
+    plays in the reference (main.py:273), without per-sample CPU transforms.
+    """
+
+    def __init__(self, records: list[Record], batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2, frame_hw: tuple[int, int] = (1200, 1920)):
+        self.records = records
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.frame_hw = frame_hw
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.records) // self.batch_size
+        if not self.drop_last and len(self.records) % self.batch_size:
+            n += 1
+        return n
+
+    def _assemble(self, batch: list[Record]) -> dict[str, np.ndarray]:
+        h, w = self.frame_hw
+        n = len(batch)
+        frames = np.zeros((n, h, w), np.float32)
+        for i, r in enumerate(batch):
+            img = read_gray_image(r.image_path)
+            frames[i, :img.shape[0], :img.shape[1]] = img
+        out = {
+            'frame': frames,
+            'bbox': np.stack([r.bbox for r in batch]),
+            'keypoints_3d': np.stack([r.keypoints_3d for r in batch]),
+            'K': np.stack([r.K for r in batch]),
+            'name': [r.name for r in batch],
+        }
+        if batch[0].keypoints_2d is not None:
+            out['keypoints_2d'] = np.stack([r.keypoints_2d for r in batch])
+        if batch[0].quat is not None:
+            out['quat'] = np.stack([r.quat for r in batch])
+            out['trans'] = np.stack([r.trans for r in batch])
+        return out
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            for idxs in batches:
+                q.put(self._assemble([self.records[i] for i in idxs]))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

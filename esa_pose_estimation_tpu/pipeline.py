@@ -1,0 +1,109 @@
+"""The fused serving pipeline: frames -> boxes -> crops -> keypoints -> pose.
+
+Single source of truth for the end-to-end inference path that the reference
+spreads across demo.py:133-275 / val.py:136-233 (per-image Python loop with
+GPU->CPU syncs at every stage).  Here every stage is batched and the whole
+chain is one jitted XLA program per batch: the only host interaction is
+feeding frames in and reading poses out.
+
+Stages (reference parity):
+  1. detect (optional)        — simple_detect.py equivalent, or given boxes
+  2. square crop x1.05+resize — data_load4.py:110-166
+  3. HRNet heatmaps           — models/seg_hrnet3.py forward
+  4. peak decode + log-Taylor — inference.py:22-94
+  5. confidence top-k select  — demo.py:195-200 / val.py:172-177
+  6. RANSAC-EPnP + LM refine  — pnp.py:46-90 + cpnp.cpnp_m
+  7. quaternion output        — demo.py:301-303
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from esa_pose_estimation_tpu.core import camera
+from esa_pose_estimation_tpu.core.camera import rotmat_to_quat
+from esa_pose_estimation_tpu.ops import crop as crop_ops
+from esa_pose_estimation_tpu.ops import peak as peak_ops
+from esa_pose_estimation_tpu.ops import pnp as pnp_mod
+
+
+class PoseOutput(NamedTuple):
+    quat: jnp.ndarray          # (B, 4) (w, x, y, z)
+    trans: jnp.ndarray         # (B, 3)
+    R: jnp.ndarray             # (B, 3, 3)
+    keypoints_2d: jnp.ndarray  # (B, K, 2) full-frame pixel predictions
+    confidences: jnp.ndarray   # (B, K) heatmap peak values
+    selected: jnp.ndarray      # (B, K) bool keypoints used for the pose
+
+
+def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
+                points_3d: jnp.ndarray, key: jax.Array,
+                K: jnp.ndarray | None = None,
+                crop_size: int = 128,
+                conf_threshold: float = 0.6,
+                min_keypoints: int = 24,
+                n_hypotheses: int = 32,
+                lm_iters: int = 10) -> PoseOutput:
+    """Batched frames + detector boxes -> poses.  Fully jittable.
+
+    frames: (B, H, W) grayscale [0, 255]; bboxes: (B, 4) [x1, y1, x2, y2];
+    points_3d: (K, 3) model keypoints (the reference's ``sift3d``).
+    """
+    if K is None:
+        K = jnp.asarray(camera.SPEED_K, jnp.float32)
+    crops, rates, origins = crop_ops.crop_resize(frames, bboxes, crop_size)
+    x = crop_ops.normalize(crops)[..., None]
+    hm = model.apply(variables, x, train=False)           # (B, S, S, K)
+    hm = jnp.transpose(hm, (0, 3, 1, 2))                  # (B, K, S, S)
+    coords, maxvals = peak_ops.decode_heatmaps(hm)
+    sel = peak_ops.select_confident(maxvals, conf_threshold,
+                                    min_count=min_keypoints)
+    uncropped = (coords / rates[:, None, None]
+                 + origins[:, None, :].astype(jnp.float32))
+    p3 = jnp.broadcast_to(points_3d, (frames.shape[0],) + points_3d.shape)
+    init = pnp_mod.ransac_epnp(p3, uncropped, K, key, valid=sel,
+                               n_hypotheses=n_hypotheses, lm_iters=lm_iters)
+    w = jnp.where(sel, maxvals, 0.0)
+    R, t = pnp_mod.lm_refine(p3, uncropped, w, K, init.R, init.t,
+                             iters=lm_iters)
+    return PoseOutput(quat=rotmat_to_quat(R), trans=t, R=R,
+                      keypoints_2d=uncropped, confidences=maxvals,
+                      selected=sel)
+
+
+def make_jitted_pipeline(model, points_3d: jnp.ndarray,
+                         K: jnp.ndarray | None = None,
+                         **kwargs):
+    """Returns jitted fn(variables, frames, bboxes, key) -> PoseOutput."""
+    fn = partial(infer_poses, model, points_3d=points_3d, K=K, **kwargs)
+
+    @jax.jit
+    def run(variables, frames, bboxes, key):
+        return fn(variables, frames=frames, bboxes=bboxes, key=key)
+
+    return run
+
+
+def detect_and_infer(detector_model, detector_vars, model, variables,
+                     frames: jnp.ndarray, points_3d: jnp.ndarray,
+                     key: jax.Array, detector_stride: int = 16,
+                     **kwargs) -> PoseOutput:
+    """Two-stage pipeline with the on-device detector supplying boxes
+    (reference BASELINE config 3: detect -> crop -> keypoint, fused)."""
+    from esa_pose_estimation_tpu.models.detector import decode_detections
+
+    det_out = detector_model.apply(detector_vars, frames[..., None],
+                                   train=False)
+    boxes, scores, valid = decode_detections(det_out, detector_stride,
+                                             max_outputs=1,
+                                             score_threshold=0.05)
+    # one spacecraft per frame: take the top box, fall back to full frame
+    h, w = frames.shape[1], frames.shape[2]
+    full = jnp.asarray([0.0, 0.0, w - 1.0, h - 1.0], jnp.float32)
+    bboxes = jnp.where(valid[:, 0, None], boxes[:, 0, :], full[None, :])
+    return infer_poses(model, variables, frames, bboxes, points_3d, key,
+                       **kwargs)
