@@ -19,6 +19,7 @@ Semantics match ``my_taylor`` (inference.py:75-94) exactly:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -95,6 +96,85 @@ def decode_heatmaps(heatmaps: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """
     coords, maxvals = argmax_peaks(heatmaps)
     return taylor_refine(heatmaps, coords), maxvals
+
+
+def gaussian_modulate(heatmaps: jnp.ndarray, kernel: int = 11) -> jnp.ndarray:
+    """Max-preserving Gaussian blur (vectorized ``gaussian_blur``,
+    reference inference.py:96-110).
+
+    cv2.GaussianBlur(k, k, sigma=0) uses sigma = 0.3*((k-1)*0.5 - 1) + 0.8
+    with zero padding of ``border=(k-1)//2`` — reproduced with a separable
+    depthwise convolution; each map is rescaled so its max is unchanged.
+    """
+    sigma = 0.3 * ((kernel - 1) * 0.5 - 1.0) + 0.8
+    half = (kernel - 1) // 2
+    x = jnp.arange(kernel, dtype=heatmaps.dtype) - half
+    g = jnp.exp(-0.5 * (x / sigma) ** 2)
+    g = g / g.sum()
+
+    batch = heatmaps.shape[:-2]
+    h, w = heatmaps.shape[-2:]
+    flat = heatmaps.reshape((-1, h, w))
+    orig_max = jnp.max(flat, axis=(-2, -1), keepdims=True)
+
+    # separable blur with zero padding (matches the dr-buffer zero border)
+    def conv1d(arr, vertical):
+        kh, kw = (kernel, 1) if vertical else (1, kernel)
+        pad = [(half, half), (0, 0)] if vertical else [(0, 0), (half, half)]
+        return jax.lax.conv_general_dilated(
+            arr[:, None], g.reshape(1, 1, kh, kw),
+            window_strides=(1, 1), padding=pad,
+            dimension_numbers=('NCHW', 'OIHW', 'NCHW'))[:, 0]
+
+    blurred = conv1d(conv1d(flat, True), False)
+    new_max = jnp.maximum(jnp.max(blurred, axis=(-2, -1), keepdims=True),
+                          1e-12)
+    out = blurred * (orig_max / new_max)
+    return out.reshape(batch + (h, w))
+
+
+def taylor_refine_hessian(heatmaps: jnp.ndarray, coords: jnp.ndarray,
+                          eps: float = 1e-10) -> jnp.ndarray:
+    """Full 2x2-Hessian sub-pixel refinement on the log heatmap (vectorized
+    ``taylor``, reference inference.py:54-73, used by get_final2 /
+    get_final_preds after gaussian blur + log).
+
+    heatmaps: (..., H, W) RAW maps (log applied here); coords (..., 2).
+    """
+    h, w = heatmaps.shape[-2:]
+    log_hm = jnp.log(jnp.maximum(heatmaps, eps))
+    flat = log_hm.reshape(log_hm.shape[:-2] + (h * w,))
+    px = coords[..., 0].astype(jnp.int32)
+    py = coords[..., 1].astype(jnp.int32)
+
+    def g(dy, dx):
+        return _gather_log(flat, py, px, dy, dx, h, w)
+
+    c = g(0, 0)
+    dx = 0.5 * (g(0, 1) - g(0, -1))
+    dy = 0.5 * (g(1, 0) - g(-1, 0))
+    dxx = 0.25 * (g(0, 2) - 2.0 * c + g(0, -2))
+    dxy = 0.25 * (g(1, 1) - g(-1, 1) - g(1, -1) + g(-1, -1))
+    dyy = 0.25 * (g(2, 0) - 2.0 * c + g(-2, 0))
+
+    det = dxx * dyy - dxy * dxy
+    interior = ((px > 1) & (px < w - 2) & (py > 1) & (py < h - 2))
+    apply = interior & (det != 0.0)
+    safe_det = jnp.where(det == 0.0, 1.0, det)
+    # offset = -H^-1 g with H = [[dxx, dxy], [dxy, dyy]]
+    off_x = -(dyy * dx - dxy * dy) / safe_det
+    off_y = -(-dxy * dx + dxx * dy) / safe_det
+    offset = jnp.stack([off_x, off_y], axis=-1)
+    return coords + jnp.where(apply[..., None], offset, 0.0)
+
+
+def decode_heatmaps_dark(heatmaps: jnp.ndarray, kernel: int = 11
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DARK-style decode: blur modulation + full-Hessian log-Taylor
+    (the reference ``get_final2`` path, inference.py:154-170)."""
+    coords, maxvals = argmax_peaks(heatmaps)
+    modulated = gaussian_modulate(heatmaps, kernel)
+    return taylor_refine_hessian(modulated, coords), maxvals
 
 
 def select_confident(maxvals: jnp.ndarray, threshold: float = 0.6,
