@@ -172,6 +172,58 @@ class ResNet8s(nn.Module):
         return out.astype(jnp.float32)
 
 
+class ResNet8s2o(nn.Module):
+    """Two-output PVNet head: segmentation + vertex field
+    (reference: net.py:157-223 ``Resnet50_8s_2o`` — seg_dim mask logits and
+    ver_dim direction-field channels from a shared decoder).
+
+    Output: (seg (B, H, W, seg_dim), vertex (B, H, W, ver_dim)) where
+    ver_dim = 2 * n_keypoints, reshapeable to (B, H, W, K, 2) for
+    ops/voting.
+    """
+    ver_dim: int = 18
+    seg_dim: int = 2
+    depth: int = 50
+    fc_dim: int = 384
+    s8_dim: int = 256
+    s4_dim: int = 128
+    s2_dim: int = 64
+    raw_dim: int = 64
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        trunk = ResNet8s(ver_dim=self.seg_dim + self.ver_dim,
+                         depth=self.depth, fc_dim=self.fc_dim,
+                         s8_dim=self.s8_dim, s4_dim=self.s4_dim,
+                         s2_dim=self.s2_dim, raw_dim=self.raw_dim,
+                         dtype=self.dtype, axis_name=self.axis_name)
+        out = trunk(x, train)
+        return out[..., :self.seg_dim], out[..., self.seg_dim:]
+
+
+def pvnet_loss(seg_logits: jnp.ndarray, vertex_pred: jnp.ndarray,
+               mask: jnp.ndarray, vertex_target: jnp.ndarray,
+               vertex_weight: float = 1.0) -> jnp.ndarray:
+    """PVNet training loss: per-pixel seg cross-entropy + masked smooth-L1
+    on the vertex field (the reference LINEMOD training objective)."""
+    import jax
+
+    from esa_pose_estimation_tpu.ops.vertex import vertex_loss
+
+    labels = mask.astype(jnp.int32)
+    seg_ce = jnp.mean(
+        -jax.nn.log_softmax(seg_logits, axis=-1)[
+            ..., 0] * (1 - labels)
+        - jax.nn.log_softmax(seg_logits, axis=-1)[..., 1] * labels)
+    b, h, w, _ = vertex_pred.shape
+    k = vertex_target.shape[-2]
+    vp = vertex_pred.reshape(b, h, w, k, 2)
+    vl = vertex_loss(vp, vertex_target, mask)
+    return seg_ce + vertex_weight * vl
+
+
 def resnet18_8s(ver_dim: int = 32, **kw) -> ResNet8s:
     """Parity with net.py:7-79 defaults."""
     return ResNet8s(ver_dim=ver_dim, depth=18, fc_dim=256, s8_dim=128,

@@ -1,0 +1,100 @@
+"""Render tooling + VGG + two-output PVNet model tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from esa_pose_estimation_tpu.utils import render
+
+
+class TestSampling:
+    def test_sphere_points_unit(self):
+        pts = render.sample_sphere_points(200)
+        np.testing.assert_allclose(np.linalg.norm(pts, axis=-1), 1.0,
+                                   atol=1e-9)
+        # roughly uniform: mean near zero
+        assert np.abs(pts.mean(axis=0)).max() < 0.05
+
+    def test_poses_valid_rotations(self):
+        Rs, ts = render.sample_poses(32, 0.5, 2.0)
+        for R in Rs:
+            np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-8)
+            assert np.linalg.det(R) > 0.99
+        d = np.linalg.norm(ts, axis=-1)
+        assert (d >= 0.5).all() and (d <= 2.0).all()
+
+    def test_pose_statistics(self):
+        Rs, ts = render.sample_poses(64, 1.0, 3.0)
+        stats = render.pose_statistics(Rs, ts)
+        assert set(stats) == {'azimuth', 'elevation', 'distance'}
+        assert (stats['distance'] >= 1.0).all()
+
+
+class TestRasterize:
+    def test_square_mask(self):
+        # a unit quad 1m in front of a simple camera fills the expected box
+        K = jnp.asarray([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+        verts = jnp.asarray([[-0.1, -0.1, 0.0], [0.1, -0.1, 0],
+                             [0.1, 0.1, 0], [-0.1, 0.1, 0]], jnp.float32)
+        faces = jnp.asarray([[0, 1, 2], [0, 2, 3]], jnp.int32)
+        mask, depth = render.rasterize(verts, faces, jnp.eye(3),
+                                       jnp.asarray([0.0, 0, 1.0]), K, 64, 64)
+        mask = np.asarray(mask)
+        # projected square spans pixels [22, 42] in both axes
+        assert mask[32, 32] and mask[23, 23] and mask[41, 41]
+        assert not mask[10, 10] and not mask[50, 50]
+        d = np.asarray(depth)
+        assert np.isclose(d[32, 32], 1.0, atol=1e-5)
+        assert np.isinf(d[0, 0])
+
+    def test_winding_insensitive(self):
+        K = jnp.asarray([[100.0, 0, 16], [0, 100.0, 16], [0, 0, 1]])
+        verts = jnp.asarray([[-0.05, -0.05, 0.0], [0.05, -0.05, 0],
+                             [0.0, 0.05, 0]], jnp.float32)
+        for faces in ([[0, 1, 2]], [[0, 2, 1]]):
+            mask, _ = render.rasterize(verts, jnp.asarray(faces, jnp.int32),
+                                       jnp.eye(3), jnp.asarray([0.0, 0, 1.0]),
+                                       K, 32, 32)
+            assert np.asarray(mask)[16, 16]
+
+    def test_depth_ordering(self):
+        # two stacked quads: depth must report the nearer one
+        K = jnp.asarray([[100.0, 0, 16], [0, 100.0, 16], [0, 0, 1]])
+        verts = jnp.asarray(
+            [[-0.05, -0.05, 0.0], [0.05, -0.05, 0], [0.0, 0.05, 0],
+             [-0.05, -0.05, 0.5], [0.05, -0.05, 0.5], [0.0, 0.05, 0.5]],
+            jnp.float32)
+        faces = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+        _, depth = render.rasterize(verts, faces, jnp.eye(3),
+                                    jnp.asarray([0.0, 0, 1.0]), K, 32, 32)
+        assert np.isclose(np.asarray(depth)[16, 16], 1.0, atol=1e-5)
+
+
+class TestVgg:
+    def test_vgg16_convs_scales(self):
+        from esa_pose_estimation_tpu.models.vgg import VGG16Convs
+        m = VGG16Convs()
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        c4, c5 = m.apply(v, jnp.zeros((2, 64, 64, 3)))
+        assert c4.shape == (2, 8, 8, 512)
+        assert c5.shape == (2, 4, 4, 512)
+
+
+class TestResNet2o:
+    def test_two_heads_and_loss(self):
+        from esa_pose_estimation_tpu.models.resnet8s import (
+            ResNet8s2o,
+            pvnet_loss,
+        )
+        m = ResNet8s2o(ver_dim=8, seg_dim=2, depth=18, fc_dim=64, s8_dim=32,
+                       s4_dim=16, s2_dim=16, raw_dim=16)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   train=False)
+        seg, vert = m.apply(v, jnp.zeros((2, 32, 32, 3)), train=False)
+        assert seg.shape == (2, 32, 32, 2)
+        assert vert.shape == (2, 32, 32, 8)
+        mask = jnp.zeros((2, 32, 32)).at[:, 8:24, 8:24].set(1.0)
+        target = jnp.zeros((2, 32, 32, 4, 2))
+        loss = pvnet_loss(seg, vert, mask, target)
+        assert np.isfinite(float(loss))
