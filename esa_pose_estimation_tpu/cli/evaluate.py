@@ -1,0 +1,71 @@
+"""Labeled evaluation driver — the reference ``demo.py`` as a CLI.
+
+Loads a checkpoint, runs the batched inference pipeline over a labeled
+split, and reports the SPEED competition scores (translation, rotation,
+combined) plus per-keypoint pixel error, appending a row to
+``load/load_esa.txt`` like the reference (demo.py:358-363).
+
+Usage:
+  python -m esa_pose_estimation_tpu.cli.evaluate --workdir runs/esa \
+      --test-pkl data/test.pkl --image-root /data/speed/images/train/ \
+      [--checkpoint best_rotate]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from esa_pose_estimation_tpu.cli.train import evaluate
+from esa_pose_estimation_tpu.data import speed as speed_data
+from esa_pose_estimation_tpu.models import HRNet
+from esa_pose_estimation_tpu.train import state as state_mod
+from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
+from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--workdir', default='runs/esa')
+    ap.add_argument('--test-pkl', required=True)
+    ap.add_argument('--image-root', default='')
+    ap.add_argument('--checkpoint', default='best_rotate')
+    ap.add_argument('--batch-size', type=int, default=32)
+    ap.add_argument('--crop-size', type=int, default=128)
+    ap.add_argument('--tiny', action='store_true')
+    args = ap.parse_args(argv)
+
+    model_cfg = cfg_mod.hrnet_tiny() if args.tiny else cfg_mod.hrnet_esa()
+    model = HRNet(model_cfg, dtype=jnp.bfloat16)
+    cfg = cfg_mod.TrainConfig(crop_size=args.crop_size)
+    st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                      (1, args.crop_size, args.crop_size, 1))
+    ckpt = CheckpointManager(os.path.join(args.workdir, 'net_esa'))
+    st, epoch = ckpt.restore(args.checkpoint, st)
+    print(f'loaded checkpoint {args.checkpoint} (epoch {epoch - 1})')
+    variables = {'params': st.params, 'batch_stats': st.batch_stats}
+
+    records = speed_data.records_from_pickle(args.test_pkl, args.image_root)
+    points_3d = jnp.asarray(records[0].keypoints_3d)
+    loader = speed_data.BatchLoader(records,
+                                    min(args.batch_size, len(records)),
+                                    shuffle=False, drop_last=False)
+    result = evaluate(model, variables, loader, points_3d,
+                      jax.random.PRNGKey(0), args.crop_size)
+
+    os.makedirs(os.path.join(args.workdir, 'load'), exist_ok=True)
+    with open(os.path.join(args.workdir, 'load', 'load_esa.txt'), 'a') as f:
+        f.write('\t'.join(str(v) for v in
+                          ['esa', args.checkpoint, round(result['score_t'], 5),
+                           round(result['score_r'], 5),
+                           round(result['pix_err'], 5)]) + '\n')
+    print(f"score_t={result['score_t']:.5f} score_r={result['score_r']:.5f} "
+          f"speed={result['speed']:.5f} pix_err={result['pix_err']:.4f}")
+    return result
+
+
+if __name__ == '__main__':
+    main()
