@@ -1,0 +1,233 @@
+"""LINEMOD training driver — the reference ``main2.py`` path as a CLI.
+
+Two model modes, matching the reference's two LINEMOD formulations:
+
+* ``--mode heatmap``: ResNet-8s regressing K keypoint heatmaps (the
+  data_load3.py / main2.py path — same loss/decode stack as ESA);
+* ``--mode pvnet``: ResNet-8s-2o regressing segmentation + vertex fields
+  (the lib/ PVNet path), evaluated through RANSAC voting + uncertainty PnP.
+
+Evaluation reports the LINEMOD triple (2D-projection / ADD / 5cm5°,
+evaluation.py:526-532 parity).  Without real LINEMOD data it trains on a
+synthetic sphere-ish model with rendered masks (utils/render.py), which
+exercises the identical compute path.
+
+Usage:
+  python -m esa_pose_estimation_tpu.cli.train_linemod --workdir runs/cat \
+      --mode pvnet [--epochs 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from esa_pose_estimation_tpu.core import camera
+from esa_pose_estimation_tpu.data.linemod import LineModModelDB
+from esa_pose_estimation_tpu.eval import evaluator
+from esa_pose_estimation_tpu.models.resnet8s import (
+    ResNet8s2o,
+    pvnet_loss,
+    resnet18_8s,
+)
+from esa_pose_estimation_tpu.obs import JsonlLogger, TsvLogger
+from esa_pose_estimation_tpu.ops import heatmap as heatmap_ops
+from esa_pose_estimation_tpu.ops import peak as peak_ops
+from esa_pose_estimation_tpu.ops import pnp as pnp_mod
+from esa_pose_estimation_tpu.ops import vertex as vertex_ops
+from esa_pose_estimation_tpu.ops import voting as voting_ops
+from esa_pose_estimation_tpu.train.loss import weighted_heatmap_loss
+from esa_pose_estimation_tpu.utils import render
+
+
+def synthetic_linemod_batch(key, batch_size, db, model_pts, faces, kp3d,
+                            size=128):
+    """Rendered-mask LINEMOD-like batch: pose -> mask render -> targets."""
+    K = jnp.asarray(camera.LINEMOD_K, jnp.float32) * (size / 640.0)
+    K = K.at[2, 2].set(1.0)
+    keys = jax.random.split(key, batch_size)
+
+    def one(k):
+        kq, kt = jax.random.split(k)
+        q = jax.random.normal(kq, (4,))
+        q = q / jnp.linalg.norm(q)
+        R = camera.quat_to_rotmat(q)
+        t = jnp.array([0.0, 0.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * \
+            jax.random.uniform(kt, (), minval=0.5, maxval=0.9)
+        mask, _ = render.rasterize(model_pts, faces, R, t, K, size, size)
+        kp2d = camera.project_points(kp3d, R, t, K)
+        return mask.astype(jnp.float32), kp2d, R, t
+
+    masks, kp2d, Rs, ts = jax.vmap(one)(keys)
+    return {'mask': masks, 'keypoints_2d': kp2d, 'R': Rs, 't': ts, 'K': K}
+
+
+def make_icosphere(radius=0.06, subdiv=2):
+    """Small triangulated sphere mesh (synthetic LINEMOD object)."""
+    t = (1 + 5 ** 0.5) / 2
+    verts = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                      [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                      [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]],
+                     float)
+    faces = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10],
+                      [0, 10, 11], [1, 5, 9], [5, 11, 4], [11, 10, 2],
+                      [10, 7, 6], [7, 1, 8], [3, 9, 4], [3, 4, 2],
+                      [3, 2, 6], [3, 6, 8], [3, 8, 9], [4, 9, 5],
+                      [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+                     np.int32)
+    for _ in range(subdiv):
+        new_faces = []
+        verts = verts.tolist()
+        cache = {}
+
+        def mid(a, b):
+            kk = (min(a, b), max(a, b))
+            if kk not in cache:
+                m = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2
+                verts.append(m.tolist())
+                cache[kk] = len(verts) - 1
+            return cache[kk]
+
+        for a, b, c in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        faces = np.asarray(new_faces, np.int32)
+        verts = np.asarray(verts, float)
+    verts = np.asarray(verts, float)
+    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True) * radius
+    # squash one axis so the object is not rotation-symmetric
+    verts[:, 2] *= 0.6
+    verts[:, 0] *= 1.2
+    return verts.astype(np.float32), faces
+
+
+def train(args) -> dict:
+    os.makedirs(args.workdir, exist_ok=True)
+    db = LineModModelDB()
+    verts, faces = make_icosphere()
+    db.register(args.cls, vertices=verts)
+    kp3d = jnp.asarray(db.get_farthest_3d(args.cls, args.num_keypoints),
+                       jnp.float32)
+    model_pts = jnp.asarray(verts)
+    facesj = jnp.asarray(faces)
+    size = args.crop_size
+
+    if args.mode == 'heatmap':
+        model = resnet18_8s(ver_dim=args.num_keypoints)
+    else:
+        model = ResNet8s2o(ver_dim=2 * args.num_keypoints, seg_dim=2,
+                           depth=18, fc_dim=128, s8_dim=64, s4_dim=32,
+                           s2_dim=32, raw_dim=32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, size, size, 3)), train=False)
+    params, batch_stats = variables['params'], variables['batch_stats']
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    logger = TsvLogger(os.path.join(args.workdir, f'log_{args.cls}.txt'))
+    logger.set_names(['Epoch', 'LR', 'Train Loss'])
+    events = JsonlLogger(os.path.join(args.workdir, 'events.jsonl'))
+
+    def batch_inputs(batch):
+        img = jnp.repeat(batch['mask'][..., None], 3, axis=-1)
+        return img
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, batch, key):
+        img = batch_inputs(batch)
+
+        def loss_fn(p):
+            out, mut = model.apply({'params': p, 'batch_stats': batch_stats},
+                                   img, train=True, mutable=['batch_stats'])
+            if args.mode == 'heatmap':
+                hm, wm = heatmap_ops.render_targets(batch['keypoints_2d'],
+                                                    size, size, 2.0)
+                loss = weighted_heatmap_loss(
+                    out, jnp.transpose(hm, (0, 2, 3, 1)),
+                    jnp.transpose(wm, (0, 2, 3, 1)))
+            else:
+                seg, vert = out
+                target = vertex_ops.vertex_field(batch['mask'],
+                                                 batch['keypoints_2d'])
+                loss = pvnet_loss(seg, vert, batch['mask'], target)
+            return loss, mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), mut['batch_stats'],
+                opt_state, loss)
+
+    key = jax.random.PRNGKey(args.seed)
+    result = {}
+    for epoch in range(args.epochs):
+        losses = []
+        for i in range(args.steps_per_epoch):
+            bkey = jax.random.fold_in(key, epoch * 10000 + i)
+            batch = synthetic_linemod_batch(bkey, args.batch_size, db,
+                                            model_pts, facesj, kp3d, size)
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, batch, bkey)
+            losses.append(float(loss))
+        logger.append([epoch + 1, args.lr, float(np.mean(losses))])
+        print(f'{args.cls} epoch {epoch + 1}: loss {np.mean(losses):.5f}')
+
+        # eval: pose metrics through the full decode stack
+        ebatch = synthetic_linemod_batch(jax.random.fold_in(key, 999999),
+                                         args.batch_size, db, model_pts,
+                                         facesj, kp3d, size)
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          batch_inputs(ebatch), train=False)
+        Kc = ebatch['K']
+        if args.mode == 'heatmap':
+            hm = jnp.transpose(out, (0, 3, 1, 2))
+            coords, maxvals = peak_ops.decode_heatmaps(hm)
+            res = pnp_mod.ransac_epnp(
+                jnp.broadcast_to(kp3d, (args.batch_size,) + kp3d.shape),
+                coords, Kc, jax.random.PRNGKey(3))
+            R_pred, t_pred = res.R, res.t
+        else:
+            seg, vert = out
+            seg_mask = (jnp.argmax(seg, axis=-1) == 1).astype(jnp.float32)
+            field = vert.reshape(vert.shape[:3] + (args.num_keypoints, 2))
+            vres = voting_ops.ransac_voting(seg_mask, field,
+                                            jax.random.PRNGKey(4))
+            R_pred, t_pred = pnp_mod.uncertainty_pnp(
+                jnp.broadcast_to(kp3d, (args.batch_size,) + kp3d.shape),
+                vres.keypoints, vres.covariance, Kc, jax.random.PRNGKey(5))
+        acc = evaluator.pose_accuracy(
+            model_pts, db.get_diameter(args.cls), Kc,
+            R_pred, t_pred, ebatch['R'], ebatch['t'],
+            symmetric=db.is_symmetric(args.cls))
+        result = {k: float(v) for k, v in acc.items()}
+        events.log('eval', epoch=epoch + 1, **result)
+        print(f"  2D-proj {result['projection_2d']:.3f}  "
+              f"ADD {result['add']:.3f}  5cm5deg {result['cm_degree_5']:.3f}")
+    logger.close()
+    events.close()
+    return result
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--workdir', default='runs/linemod')
+    ap.add_argument('--cls', default='cat')
+    ap.add_argument('--mode', choices=['heatmap', 'pvnet'], default='heatmap')
+    ap.add_argument('--epochs', type=int, default=10)
+    ap.add_argument('--steps-per-epoch', type=int, default=50)
+    ap.add_argument('--batch-size', type=int, default=16)
+    ap.add_argument('--crop-size', type=int, default=128)
+    ap.add_argument('--num-keypoints', type=int, default=9)
+    ap.add_argument('--lr', type=float, default=1e-3)
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args(argv)
+    return train(args)
+
+
+if __name__ == '__main__':
+    main()

@@ -320,6 +320,7 @@ def ransac_epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     v = jnp.ones(batch + (n,), bool) if valid is None else valid
     vf = v.astype(points_3d.dtype)
 
+    sample_size = min(sample_size, n)   # small keypoint sets (>=4 for EPnP)
     masks = _sample_masks(key, batch, n, n_hypotheses, sample_size, v)
 
     # Control frame / barycentric coords / per-point M^T M contributions are
