@@ -30,8 +30,8 @@ jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 BASELINE_IMG_PER_S = 1.0 / 0.205
-BATCH = 64
-N_ITERS = 20
+BATCH = 256
+N_ITERS = 10
 
 
 def build_pipeline():
