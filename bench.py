@@ -52,7 +52,7 @@ def build_pipeline():
         x = crop_ops.normalize(crops)[..., None]
         hm = model.apply(variables, x, train=False)          # (B,128,128,30)
         hm = jnp.transpose(hm, (0, 3, 1, 2))                 # (B,30,128,128)
-        coords, maxvals = peak_ops.decode_heatmaps(hm)
+        coords, maxvals = peak_ops.decode_heatmaps_auto(hm)
         sel = peak_ops.select_confident(maxvals, 0.6, min_count=24)
         uncropped = coords / rates[:, None, None] + \
             origins[:, None, :].astype(jnp.float32)

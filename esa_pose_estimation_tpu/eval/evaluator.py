@@ -80,6 +80,21 @@ def pose_accuracy(model_pts: jnp.ndarray, diameter: float, K: jnp.ndarray,
     }
 
 
+def average_precision(scores: jnp.ndarray, correct: jnp.ndarray) -> jnp.ndarray:
+    """AP of a ranked detection list (evaluation.py:526-532 role).
+
+    scores: (N,) confidence; correct: (N,) bool ground-truth hits.
+    Returns sum over hits of precision@k / #positives.
+    """
+    order = jnp.argsort(-scores)
+    c = correct[order].astype(jnp.float32)
+    cum = jnp.cumsum(c)
+    ranks = jnp.arange(1, c.shape[0] + 1, dtype=jnp.float32)
+    precision_at_k = cum / ranks
+    n_pos = jnp.maximum(jnp.sum(c), 1.0)
+    return jnp.sum(precision_at_k * c) / n_pos
+
+
 class AverageMeter:
     """Running mean/sum/count (reference: evaluation.py:14-29)."""
 

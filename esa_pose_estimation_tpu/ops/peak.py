@@ -98,6 +98,18 @@ def decode_heatmaps(heatmaps: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return taylor_refine(heatmaps, coords), maxvals
 
 
+def decode_heatmaps_auto(heatmaps: jnp.ndarray
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode via the Pallas kernel on TPU (bit-identical, ~1.4x faster),
+    the XLA path elsewhere."""
+    if jax.default_backend() == 'tpu':
+        from esa_pose_estimation_tpu.ops.pallas.peak_decode import (
+            decode_heatmaps_pallas,
+        )
+        return decode_heatmaps_pallas(heatmaps, interpret=False)
+    return decode_heatmaps(heatmaps)
+
+
 def gaussian_modulate(heatmaps: jnp.ndarray, kernel: int = 11) -> jnp.ndarray:
     """Max-preserving Gaussian blur (vectorized ``gaussian_blur``,
     reference inference.py:96-110).
