@@ -26,6 +26,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('EPT_COMPILE_CACHE',
+                                 os.path.expanduser('~/.ept_jax_cache')))
+
 from esa_pose_estimation_tpu.data import pipeline as data_pipeline
 from esa_pose_estimation_tpu.data import speed as speed_data
 from esa_pose_estimation_tpu.data import synthetic

@@ -67,10 +67,23 @@ def render_frame(keypoints_2d: jnp.ndarray, height: int = 1200,
                  width: int = 1920, spot_sigma: float = 6.0) -> jnp.ndarray:
     """Render a full frame as a sum of Gaussian blobs at the keypoints
     (a cheap stand-in for the spacecraft appearance whose local maxima sit
-    exactly at the keypoints)."""
-    hm = heatmap_ops.render_heatmaps(keypoints_2d, height, width, spot_sigma)
-    img = jnp.clip(jnp.sum(hm, axis=-3), 0.0, 1.0)
-    return img * 255.0
+    exactly at the keypoints).
+
+    Accumulates one keypoint at a time under ``lax.scan`` — materializing
+    the (K, H, W) stack would cost K x frame bytes (17 GB for a batch of
+    64 full frames) and OOM the chip.
+    """
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    inv = 1.0 / (2.0 * spot_sigma * spot_sigma)
+
+    def body(acc, kp):
+        d2 = (xs - kp[0]) ** 2 + (ys - kp[1]) ** 2
+        return acc + jnp.exp(-d2 * inv), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((height, width), jnp.float32),
+                          keypoints_2d)
+    return jnp.clip(acc, 0.0, 1.0) * 255.0
 
 
 def make_sample(key: jax.Array, points_3d: jnp.ndarray,
@@ -99,14 +112,31 @@ def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
     Pipeline parity with ESADataSet.__getitem__ (data_load4.py:103-203),
     but batched and fused on device: crop x1.05 square -> resize ->
     keypoints to crop space -> Gaussian targets + weight maps -> normalize.
+
+    For training throughput the crop imagery is rendered directly in crop
+    space (sum of Gaussian blobs at the crop-space keypoints with the
+    crop-scaled spot size) instead of rendering 1920x1200 frames and
+    resampling them — identical geometry, ~100x less pixel work.  Full
+    frames are only produced by :func:`make_sample` (serving benchmarks).
     """
     keys = jax.random.split(key, batch_size)
-    samples = jax.vmap(lambda k: make_sample(k, points_3d, render=render))(keys)
-    crops, rates, origins = crop_ops.crop_resize(
-        samples.image, samples.bbox, crop_size)
+    samples = jax.vmap(
+        lambda k: make_sample(k, points_3d, render=False))(keys)
+    origins, crop_sizes, size = crop_ops.adjust_bbox(samples.bbox)
+    rates = crop_size / size.astype(jnp.float32)
     kp_crop = (samples.keypoints_2d - origins[:, None, :].astype(jnp.float32)
                ) * rates[:, None, None]
     hm, wm = heatmap_ops.render_targets(kp_crop, crop_size, crop_size, sigma)
+    if render:
+        spot = heatmap_ops.render_heatmaps(
+            kp_crop, crop_size, crop_size, 1.0)
+        # per-sample spot sigma = 6 * rate: rescale via exponent trick
+        # exp(-d2/2)^(1/s^2) = exp(-d2/(2 s^2))
+        s2 = (6.0 * rates) ** 2
+        spot = spot ** (1.0 / s2[:, None, None, None])
+        crops = jnp.clip(jnp.sum(spot, axis=1), 0.0, 1.0) * 255.0
+    else:
+        crops = jnp.zeros((batch_size, crop_size, crop_size), jnp.float32)
     image = crop_ops.normalize(crops)[..., None]           # (B, S, S, 1)
     return {
         'image': image,
