@@ -1,0 +1,41 @@
+"""Multi-device serving: the inference pipeline sharded over the mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from esa_pose_estimation_tpu import pipeline
+from esa_pose_estimation_tpu.data import synthetic
+from esa_pose_estimation_tpu.models import HRNet
+from esa_pose_estimation_tpu.parallel import make_mesh
+from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+
+def test_pipeline_shards_over_data_axis():
+    mesh = make_mesh(8)
+    pts = synthetic.spacecraft_points(6)
+    model = HRNet(cfg_mod.hrnet_tiny())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 1)), train=False)
+
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P('data'))
+
+    fn = jax.jit(
+        lambda v, f, b, k: pipeline.infer_poses(
+            model, v, f, b, pts, k, crop_size=64, n_hypotheses=8,
+            lm_iters=3),
+        in_shardings=(rep, dat, dat, rep),
+    )
+
+    frames = jax.device_put(jnp.zeros((16, 256, 256)), dat)
+    bboxes = jax.device_put(
+        jnp.tile(jnp.asarray([[10.0, 10, 200, 200]]), (16, 1)), dat)
+    variables = jax.device_put(variables, rep)
+    out = fn(variables, frames, bboxes, jax.random.PRNGKey(1))
+    assert out.quat.shape == (16, 4)
+    assert np.isfinite(np.asarray(out.trans)).all()
+    # outputs actually live distributed across all 8 devices
+    assert len(out.trans.sharding.device_set) == 8
