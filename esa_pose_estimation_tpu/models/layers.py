@@ -20,7 +20,7 @@ PyTorch BN momentum 0.01 == Flax momentum 0.99 (complementary conventions).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

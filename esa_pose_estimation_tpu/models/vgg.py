@@ -8,7 +8,7 @@ NHWC; BatchNorm variants available like the reference's ``vgg*_bn``.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -1,4 +1,4 @@
-"""Detector-box -> square crop -> resize, as one fused on-device gather.
+"""Detector-box -> square crop -> resize, fused on device as two matmuls.
 
 TPU-native replacement for the reference dataloader's CPU crop path
 (reference: data_load4.py:110-166, call stack SURVEY §3.4):
@@ -9,10 +9,11 @@ TPU-native replacement for the reference dataloader's CPU crop path
 
 Instead of materializing the variable-size crop (a dynamic shape jit cannot
 express), the output grid is sampled *directly* from the full-resolution
-image with one bilinear gather per output pixel.  Edge padding falls out of
-coordinate clamping: a clamped bilinear sample past the crop boundary
-reproduces np.pad(..., 'edge') exactly.  The whole batch is one gather that
-XLA pipelines from HBM; no host round trip, no per-sample Python.
+image.  Edge padding falls out of coordinate clamping: a clamped bilinear
+sample past the crop boundary reproduces np.pad(..., 'edge') exactly.  The
+bilinear sampling itself is expressed as two dense "tent-weight"
+interpolation matmuls so it runs on the MXU rather than as a gather (the
+slow path on TPU); no host round trip, no per-sample Python.
 
 All box arithmetic replicates the reference's ``int()`` truncation so crops
 are pixel-identical.
@@ -20,7 +21,6 @@ are pixel-identical.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from esa_pose_estimation_tpu.core import linalg

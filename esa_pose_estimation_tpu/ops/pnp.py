@@ -34,7 +34,6 @@ from esa_pose_estimation_tpu.ops.epnp import (
     epnp_from_mask,
     epnp_precompute,
     epnp_reconstruct,
-    epnp_single,
     normalize_points_2d,
     reprojection_errors,
 )

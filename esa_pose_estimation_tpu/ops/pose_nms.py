@@ -14,7 +14,6 @@ PCK radius min(ref_dist, 7).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -12,7 +12,6 @@ Uses orbax for the on-disk format; state is
 from __future__ import annotations
 
 import os
-from typing import Any
 
 import jax
 import orbax.checkpoint as ocp

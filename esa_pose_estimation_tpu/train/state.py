@@ -12,14 +12,12 @@ the sharded axis (XLA inserts the all-reduce), subsuming InPlaceABNSync.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from esa_pose_estimation_tpu.train.loss import weighted_heatmap_loss

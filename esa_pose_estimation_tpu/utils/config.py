@@ -10,7 +10,7 @@ loadable from YAML/CLI overrides without a global singleton.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 
