@@ -62,10 +62,25 @@ def random_pose(key: jax.Array, min_depth: float = 5.0,
     return q, t
 
 
+def _spot_params(n_kp: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-keypoint blob (sigma, amplitude) in full-frame pixels.
+
+    Distinct appearance per keypoint — identical blobs make keypoint
+    identity unlearnable (the network can only use constellation context,
+    and distant/ambiguous views produce confident identity swaps that no
+    robust solver can always reject).  Real spacecraft features are
+    visually distinct; so are these.
+    """
+    k = jnp.arange(n_kp, dtype=jnp.float32)
+    sigmas = 4.0 + 5.0 * (k % 5) / 4.0                     # 4..9 px
+    amps = 0.45 + 0.55 * (((k * 7) % n_kp) / max(n_kp - 1, 1))
+    return sigmas, amps
+
+
 @partial(jax.jit, static_argnames=('height', 'width'))
 def render_frame(keypoints_2d: jnp.ndarray, height: int = 1200,
-                 width: int = 1920, spot_sigma: float = 6.0) -> jnp.ndarray:
-    """Render a full frame as a sum of Gaussian blobs at the keypoints
+                 width: int = 1920) -> jnp.ndarray:
+    """Render a full frame as a sum of per-keypoint-distinct Gaussian blobs
     (a cheap stand-in for the spacecraft appearance whose local maxima sit
     exactly at the keypoints).
 
@@ -75,14 +90,15 @@ def render_frame(keypoints_2d: jnp.ndarray, height: int = 1200,
     """
     xs = jnp.arange(width, dtype=jnp.float32)[None, :]
     ys = jnp.arange(height, dtype=jnp.float32)[:, None]
-    inv = 1.0 / (2.0 * spot_sigma * spot_sigma)
+    sigmas, amps = _spot_params(keypoints_2d.shape[-2])
 
-    def body(acc, kp):
+    def body(acc, inp):
+        kp, sig, amp = inp
         d2 = (xs - kp[0]) ** 2 + (ys - kp[1]) ** 2
-        return acc + jnp.exp(-d2 * inv), None
+        return acc + amp * jnp.exp(-d2 / (2.0 * sig * sig)), None
 
     acc, _ = jax.lax.scan(body, jnp.zeros((height, width), jnp.float32),
-                          keypoints_2d)
+                          (keypoints_2d, sigmas, amps))
     return jnp.clip(acc, 0.0, 1.0) * 255.0
 
 
@@ -130,11 +146,14 @@ def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
     if render:
         spot = heatmap_ops.render_heatmaps(
             kp_crop, crop_size, crop_size, 1.0)
-        # per-sample spot sigma = 6 * rate: rescale via exponent trick
-        # exp(-d2/2)^(1/s^2) = exp(-d2/(2 s^2))
-        s2 = (6.0 * rates) ** 2
-        spot = spot ** (1.0 / s2[:, None, None, None])
-        crops = jnp.clip(jnp.sum(spot, axis=1), 0.0, 1.0) * 255.0
+        # per-(sample, keypoint) spot sigma = sigma_k * rate via the
+        # exponent trick exp(-d2/2)^(1/s^2) = exp(-d2/(2 s^2))
+        sigmas, amps = _spot_params(points_3d.shape[0])
+        s2 = (sigmas[None, :] * rates[:, None]) ** 2
+        spot = spot ** (1.0 / s2[:, :, None, None])
+        crops = jnp.clip(
+            jnp.sum(amps[None, :, None, None] * spot, axis=1), 0.0, 1.0
+        ) * 255.0
     else:
         crops = jnp.zeros((batch_size, crop_size, crop_size), jnp.float32)
     image = crop_ops.normalize(crops)[..., None]           # (B, S, S, 1)

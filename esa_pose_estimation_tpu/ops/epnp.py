@@ -161,7 +161,7 @@ def smallest_eigvecs(A: jnp.ndarray, k: int = 4,
     """
     m = A.shape[-1]
     tr = jnp.trace(A, axis1=-2, axis2=-1)
-    ridge = (1e-7 * tr / m + 1e-12)[..., None, None]
+    ridge = (1e-6 * tr / m + 1e-12)[..., None, None]
     L = jnp.linalg.cholesky(A + ridge * jnp.eye(m, dtype=A.dtype))
     # Fixed full-rank start basis (deterministic; not axis-aligned so it is
     # never orthogonal to the target subspace in practice).

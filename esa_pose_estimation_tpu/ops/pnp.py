@@ -321,6 +321,10 @@ def ransac_epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
 
     sample_size = min(sample_size, n)   # small keypoint sets (>=4 for EPnP)
     masks = _sample_masks(key, batch, n, n_hypotheses, sample_size, v)
+    # With fewer than 6 points the EPnP system (2n x 12) has a nullspace of
+    # dimension > 1 and the closed-form beta1 solution is meaningless —
+    # such hypotheses need the 4-basis beta Gauss-Newton.
+    hyp_refine = sample_size < 6
 
     # Control frame / barycentric coords / per-point M^T M contributions are
     # shared across hypotheses; each hypothesis is one masked contraction +
@@ -337,7 +341,7 @@ def ransac_epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     # (u = x/z): no per-hypothesis Procrustes, no rotation matrices.  The
     # reconstruction is exactly rigid for all-inlier samples, so inlier
     # classification is unchanged.
-    pts_cam = epnp_reconstruct(shared_h, masks, refine_betas=False)
+    pts_cam = epnp_reconstruct(shared_h, masks, refine_betas=hyp_refine)
     z = jnp.where(jnp.abs(pts_cam[..., 2]) < 1e-6, 1e-6, pts_cam[..., 2])
     proj = pts_cam[..., :2] / z[..., None]                        # (...,H,N,2)
     norm_2d = normalize_points_2d(points_2d, K)[..., None, :, :]

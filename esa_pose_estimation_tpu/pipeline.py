@@ -47,6 +47,7 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
                 conf_threshold: float = 0.6,
                 min_keypoints: int = 24,
                 n_hypotheses: int = 32,
+                sample_size: int = 6,
                 lm_iters: int = 10) -> PoseOutput:
     """Batched frames + detector boxes -> poses.  Fully jittable.
 
@@ -66,8 +67,18 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
                  + origins[:, None, :].astype(jnp.float32))
     p3 = jnp.broadcast_to(points_3d, (frames.shape[0],) + points_3d.shape)
     init = pnp_mod.ransac_epnp(p3, uncropped, K, key, valid=sel,
-                               n_hypotheses=n_hypotheses, lm_iters=lm_iters)
-    w = jnp.where(sel, maxvals, 0.0)
+                               n_hypotheses=n_hypotheses,
+                               sample_size=sample_size, lm_iters=lm_iters)
+    # Final confidence-weighted refinement over the RANSAC inliers only.
+    # The reference weighs all top-k keypoints (val.py:202) — safe there
+    # because its confidences correlate with correctness; keeping the
+    # geometric inlier mask additionally rejects confident-but-wrong
+    # keypoints (identity swaps), falling back to the selection when the
+    # inlier set is degenerate.
+    keep = init.inliers & sel
+    enough = (keep.sum(axis=-1) >= 4)[..., None]
+    keep = jnp.where(enough, keep, sel)
+    w = jnp.where(keep, maxvals, 0.0)
     R, t = pnp_mod.lm_refine(p3, uncropped, w, K, init.R, init.t,
                              iters=lm_iters)
     return PoseOutput(quat=rotmat_to_quat(R), trans=t, R=R,
