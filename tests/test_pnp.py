@@ -181,6 +181,38 @@ class TestRansac:
             assert t_err < 0.05 and ang < 0.5
 
 
+class TestConfidentOutliers:
+    def test_high_confidence_outliers_rejected(self):
+        # keypoint identity swaps: grossly wrong points with HIGH confidence.
+        # RANSAC must classify them as outliers and the final LM must not
+        # weigh them (pipeline regression: pure top-k confidence weighting
+        # cannot reject these).
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=11, noise_px=0.5)
+        p2c = p2.copy()
+        swap = [2, 9, 17, 25]
+        p2c[swap] = p2c[[9, 2, 25, 17]] + 80.0
+        conf = np.full(30, 0.95, np.float32)
+        res = pnp_mod.ransac_epnp(jnp.asarray(p3), jnp.asarray(p2c),
+                                  SPEED_K32, jax.random.PRNGKey(4))
+        keep = np.asarray(res.inliers)
+        assert not keep[swap].any()
+        w = jnp.where(jnp.asarray(keep), jnp.asarray(conf), 0.0)
+        R, t = pnp_mod.lm_refine(jnp.asarray(p3), jnp.asarray(p2c), w,
+                                 SPEED_K32, res.R, res.t)
+        t_err, ang = pose_errors(R, t, R_gt, t_gt)
+        assert t_err < 0.02 and ang < 0.3, (t_err, ang)
+
+    def test_small_sample_hypotheses_finite(self):
+        # sample_size < 6 exercises the beta-refined hypothesis path
+        p3, p2, R_gt, t_gt = synthetic_problem(seed=12, noise_px=0.5)
+        res = pnp_mod.ransac_epnp(jnp.asarray(p3), jnp.asarray(p2),
+                                  SPEED_K32, jax.random.PRNGKey(5),
+                                  sample_size=4)
+        assert np.isfinite(np.asarray(res.t)).all()
+        t_err, ang = pose_errors(res.R, res.t, R_gt, t_gt)
+        assert t_err < 0.05 and ang < 0.5, (t_err, ang)
+
+
 class TestSolvePose:
     def test_full_pipeline_speed_score(self):
         # End-to-end: keypoints with ~0.7px noise (our decoder's regime),
