@@ -256,8 +256,21 @@ def main(argv=None):
     ap.add_argument('--tcp-host', default=None)
     ap.add_argument('--tiny', action='store_true',
                     help='tiny model/config for smoke tests')
+    ap.add_argument('--max-retries', type=int, default=0,
+                    help='restart-and-resume on failure (the reference wraps '
+                         'train() in try/except, main.py:440-443; here a '
+                         'retry resumes from the last checkpoint)')
     args = ap.parse_args(argv)
-    return train(args)
+    attempt = 0
+    while True:
+        try:
+            return train(args)
+        except Exception as e:  # noqa: BLE001 — failure-recovery boundary
+            attempt += 1
+            if attempt > args.max_retries:
+                raise
+            print(f'train attempt {attempt} failed ({e!r}); '
+                  f'resuming from last checkpoint')
 
 
 if __name__ == '__main__':
