@@ -48,16 +48,21 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
                 min_keypoints: int = 24,
                 n_hypotheses: int = 32,
                 sample_size: int = 6,
-                lm_iters: int = 10) -> PoseOutput:
+                lm_iters: int = 10,
+                norm_mean: float = 0.449,
+                norm_std: float = 0.229) -> PoseOutput:
     """Batched frames + detector boxes -> poses.  Fully jittable.
 
     frames: (B, H, W) grayscale [0, 255]; bboxes: (B, 4) [x1, y1, x2, y2];
     points_3d: (K, 3) model keypoints (the reference's ``sift3d``).
+    ``norm_mean``: 0.449 for the train/eval path (data_load4.py:81),
+    0.485 for the submission datasets (data_load_val.py), 0.5 for the
+    train+real mixed set (data_load5.py).
     """
     if K is None:
         K = jnp.asarray(camera.SPEED_K, jnp.float32)
     crops, rates, origins = crop_ops.crop_resize(frames, bboxes, crop_size)
-    x = crop_ops.normalize(crops)[..., None]
+    x = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]
     hm = model.apply(variables, x, train=False)           # (B, S, S, K)
     hm = jnp.transpose(hm, (0, 3, 1, 2))                  # (B, K, S, S)
     coords, maxvals = peak_ops.decode_heatmaps_auto(hm)
