@@ -197,9 +197,15 @@ def train(args) -> dict:
             field = vert.reshape(vert.shape[:3] + (args.num_keypoints, 2))
             vres = voting_ops.ransac_voting(seg_mask, field,
                                             jax.random.PRNGKey(4))
+            # Reference eval path (evaluation.py:471-508): covariance is
+            # estimated AROUND the voting winners with the looser 0.99
+            # threshold (ransac_voting_gpu.py:333-406) and feeds
+            # covariance-weighted PnP.
+            kp_mean, kp_cov = voting_ops.estimate_voting_distribution_with_mean(
+                seg_mask, field, vres.keypoints, jax.random.PRNGKey(6))
             R_pred, t_pred = pnp_mod.uncertainty_pnp(
                 jnp.broadcast_to(kp3d, (args.batch_size,) + kp3d.shape),
-                vres.keypoints, vres.covariance, Kc, jax.random.PRNGKey(5))
+                kp_mean, kp_cov, Kc, jax.random.PRNGKey(5))
         acc = evaluator.pose_accuracy(
             model_pts, db.get_diameter(args.cls), Kc,
             R_pred, t_pred, ebatch['R'], ebatch['t'],

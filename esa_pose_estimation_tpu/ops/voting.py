@@ -10,20 +10,36 @@ vectors pointing at each keypoint.
 Redesign for XLA/TPU instead of a CUDA translation:
 
 * The dynamic foreground-pixel gather (variable count, downsample-if->30k,
-  ransac_voting_gpu.py:528-541) becomes mask weights over the fixed pixel
-  grid; sampling uses Gumbel top-k over the mask.
-* The adaptive `while confidence < 0.99` hypothesis loop (:555-576) becomes
-  a fixed hypothesis budget solved as ONE batched program — on TPU the
-  batched sweep is cheaper than data-dependent looping.
+  ransac_voting_gpu.py:528-541) becomes a FIXED-BUDGET gather: Gumbel
+  top-k over the mask selects ``n_points`` distinct pixels (pad weight 0
+  when foreground < budget), so all downstream shapes are static and
+  memory no longer scales with H*W.  This mirrors the reference's own
+  "randomly down sample if foreground > max_num" rule (:281-285) with a
+  deterministic-PRNG, jit-friendly mechanism.
+* The adaptive `while confidence < 0.99` hypothesis loop (:555-576)
+  becomes a fixed hypothesis budget solved as ONE batched program — on
+  TPU the batched sweep is cheaper than data-dependent looping.
+* Voting is CHUNKED over hypothesis blocks with ``lax.scan`` so the
+  (Hyp, N, K) vote tensor never materializes beyond one chunk: peak
+  live memory is O(B * chunk * n_points * K) regardless of the total
+  hypothesis count.  The CUDA layer achieves the same by streaming
+  (src/ransac_voting_kernel.cu:88-128 never stores the full tensor).
 * Hypothesis generation (pairwise line intersection), angular inlier
   voting, argmax selection, and the inlier-weighted 2x2 least-squares
   refinement (:580-597) are all fused elementwise/contraction code on the
   VPU — no atomics, no scatter.
 
-Also provides :func:`estimate_voting_distribution_with_mean`
-(reference: ransac_voting_gpu.py:333-406): the vote-weighted mean and
-covariance of the hypothesis cloud, feeding covariance-weighted
-(uncertainty) PnP.
+Also provides the two hypothesis-distribution estimators feeding
+covariance-weighted (uncertainty) PnP:
+
+* :func:`estimate_voting_distribution`
+  (reference: ransac_voting_gpu.py:263-331): fresh hypothesis cloud,
+  top-k inlier-ratio weighting, weighted mean + covariance.
+* :func:`estimate_voting_distribution_with_mean`
+  (reference: ransac_voting_gpu.py:333-406): fresh hypothesis cloud,
+  per-keypoint ratio threshold ``max - 0.1``, covariance of the cloud
+  around the GIVEN mean (returned unchanged), normalizer
+  ``sum(ratio) + 1e-3``.
 """
 
 from __future__ import annotations
@@ -50,13 +66,44 @@ def _pixel_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.stack([xs, ys], axis=-1).reshape(h * w, 2)   # (P, 2) as (x, y)
 
 
-def _sample_pairs(key: jax.Array, batch_shape: tuple[int, ...], n_pixels: int,
-                  n_hyp: int, mask_flat: jnp.ndarray) -> jnp.ndarray:
-    """Sample 2*n_hyp foreground pixel indices. -> (..., n_hyp, 2) int32."""
-    g = jax.random.gumbel(key, batch_shape + (n_hyp, 2, n_pixels))
-    logm = jnp.log(jnp.maximum(mask_flat, 1e-20))
-    g = g + logm[..., None, None, :]
-    return jnp.argmax(g, axis=-1)                            # (..., H, 2)
+def _gather_foreground(mask: jnp.ndarray, vertex: jnp.ndarray,
+                       key: jax.Array, n_points: int):
+    """Fixed-budget foreground gather.
+
+    mask: (B, H, W) in [0, 1]; vertex: (B, H, W, K, 2).
+    Returns coords (B, N, 2), dirs (B, N, K, 2), weights (B, N).
+
+    Gumbel top-k without replacement over ``log(mask)`` picks up to N
+    distinct foreground pixels uniformly (weighted by the mask value);
+    when foreground < N the excess slots land on background pixels whose
+    weight is ~0, so they contribute nothing to votes or refinement —
+    the static-shape analog of the reference's nonzero() select
+    (ransac_voting_gpu.py:528-541).
+    """
+    b, h, w = mask.shape
+    k = vertex.shape[3]
+    p = h * w
+    m = mask.reshape(b, p)
+    g = jax.random.gumbel(key, (b, p), dtype=jnp.float32)
+    g = g + jnp.log(jnp.maximum(m.astype(jnp.float32), 1e-20))
+    _, idx = jax.lax.top_k(g, min(n_points, p))               # (B, N)
+    grid = _pixel_grid(h, w, vertex.dtype)
+    coords = grid[idx]                                        # (B, N, 2)
+    wt = jnp.take_along_axis(m, idx, axis=1)                  # (B, N)
+    d = vertex.reshape(b, p, k, 2)
+    dirs = jnp.take_along_axis(d, idx[:, :, None, None], axis=1)  # (B,N,K,2)
+    return coords, dirs, wt
+
+
+def _sample_pairs(key: jax.Array, b: int, n: int, n_hyp: int,
+                  wt: jnp.ndarray) -> jnp.ndarray:
+    """Sample 2*n_hyp point indices (with replacement, weight ∝ wt).
+
+    -> (B, n_hyp, 2) int32 indices into the gathered point set.
+    """
+    g = jax.random.gumbel(key, (b, n_hyp, 2, n))
+    g = g + jnp.log(jnp.maximum(wt, 1e-20))[:, None, None, :]
+    return jnp.argmax(g, axis=-1)                             # (B, Hyp, 2)
 
 
 def _intersect(p1, d1, p2, d2):
@@ -73,59 +120,100 @@ def _intersect(p1, d1, p2, d2):
     return p1 + t[..., None] * d1
 
 
-@partial(jax.jit, static_argnames=('n_hypotheses',))
+def _generate_hypotheses(key: jax.Array, coords: jnp.ndarray,
+                         dirs: jnp.ndarray, wt: jnp.ndarray,
+                         n_hyp: int) -> jnp.ndarray:
+    """Random pixel pairs -> line intersections.  -> (B, Hyp, K, 2)."""
+    b, n, k, _ = dirs.shape
+    idx = _sample_pairs(key, b, n, n_hyp, wt)                 # (B, Hyp, 2)
+    pix = jnp.take_along_axis(coords, idx.reshape(b, n_hyp * 2, 1),
+                              axis=1).reshape(b, n_hyp, 2, 2)
+    dd = jnp.take_along_axis(dirs, idx.reshape(b, n_hyp * 2, 1, 1),
+                             axis=1).reshape(b, n_hyp, 2, k, 2)
+    return _intersect(pix[:, :, 0, None, :], dd[:, :, 0],
+                      pix[:, :, 1, None, :], dd[:, :, 1])     # (B, Hyp, K, 2)
+
+
+def _vote_counts_chunked(hyp: jnp.ndarray, coords: jnp.ndarray,
+                         dirs: jnp.ndarray, wt: jnp.ndarray,
+                         inlier_threshold: float,
+                         chunk: int) -> jnp.ndarray:
+    """Weighted inlier counts per hypothesis, scanned over chunks.
+
+    hyp (B, Hyp, K, 2) -> counts (B, Hyp, K).  Peak memory is one
+    (B, chunk, N, K, 2) block instead of the full (B, Hyp, N, K, 2).
+    """
+    b, n_hyp, k, _ = hyp.shape
+    n_hyp_pad = -(-n_hyp // chunk) * chunk
+    hp = jnp.pad(hyp, ((0, 0), (0, n_hyp_pad - n_hyp), (0, 0), (0, 0)))
+    hp = hp.reshape(b, n_hyp_pad // chunk, chunk, k, 2)
+    hp = jnp.moveaxis(hp, 1, 0)                               # (S, B, C, K, 2)
+
+    def body(_, hyp_c):
+        diff = hyp_c[:, :, None, :, :] - coords[:, None, :, None, :]
+        dn = jnp.linalg.norm(diff, axis=-1) + _EPS            # (B, C, N, K)
+        cos = jnp.einsum('bcnki,bnki->bcnk', diff, dirs) / dn
+        v = (cos > inlier_threshold).astype(wt.dtype) * wt[:, None, :, None]
+        return None, v.sum(axis=2)                            # (B, C, K)
+
+    _, counts = jax.lax.scan(body, None, hp)                  # (S, B, C, K)
+    counts = jnp.moveaxis(counts, 0, 1).reshape(b, n_hyp_pad, k)
+    return counts[:, :n_hyp]
+
+
+def _votes_for(points: jnp.ndarray, coords: jnp.ndarray, dirs: jnp.ndarray,
+               wt: jnp.ndarray, inlier_threshold: float) -> jnp.ndarray:
+    """Per-point weighted votes for ONE candidate per keypoint.
+
+    points (B, K, 2) -> votes (B, N, K)."""
+    diff = points[:, None, :, :] - coords[:, :, None, :]      # (B, N, K, 2)
+    dn = jnp.linalg.norm(diff, axis=-1) + _EPS
+    cos = jnp.einsum('bnki,bnki->bnk', diff, dirs) / dn
+    return (cos > inlier_threshold).astype(wt.dtype) * wt[:, :, None]
+
+
+@partial(jax.jit,
+         static_argnames=('n_hypotheses', 'n_points', 'hyp_chunk'))
 def ransac_voting(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
                   inlier_threshold: float = 0.999,
                   n_hypotheses: int = 128,
-                  min_inliers: float = 5.0) -> VotingResult:
+                  min_inliers: float = 5.0,
+                  n_points: int = 2048,
+                  hyp_chunk: int = 32) -> VotingResult:
     """Batched RANSAC voting (``ransac_voting_layer_v3`` semantics).
 
     mask: (B, H, W) in [0, 1] foreground weights;
     vertex: (B, H, W, K, 2) unit direction field toward each keypoint;
     inlier_threshold: cosine threshold (reference default 0.999,
-    ransac_voting_gpu.py:514).
+    ransac_voting_gpu.py:514);
+    n_points: foreground pixel budget (static; see _gather_foreground);
+    hyp_chunk: hypothesis block size for the scanned voting pass.
 
     Returns winning hypothesis per keypoint refined by inlier-weighted
     least squares, plus the vote-weighted hypothesis distribution.
     """
-    b, h, w, k, _ = vertex.shape
-    p = h * w
-    grid = _pixel_grid(h, w, vertex.dtype)                    # (P, 2)
-    m = mask.reshape(b, p)                                    # (B, P)
-    d = vertex.reshape(b, p, k, 2)                            # (B, P, K, 2)
+    kg, kh = jax.random.split(key)
+    coords, dirs, wt = _gather_foreground(mask, vertex, kg, n_points)
+    b, n, k, _ = dirs.shape
 
-    # --- hypothesis generation: intersect direction lines of pixel pairs --
-    idx = _sample_pairs(key, (b,), p, n_hypotheses, m)        # (B, Hyp, 2)
-    pix = grid[idx]                                           # (B, Hyp, 2, 2)
-    dirs = jnp.take_along_axis(
-        d, idx.reshape(b, n_hypotheses * 2, 1, 1), axis=1
-    ).reshape(b, n_hypotheses, 2, k, 2)
-    hyp = _intersect(pix[:, :, 0, None, :], dirs[:, :, 0],
-                     pix[:, :, 1, None, :], dirs[:, :, 1])    # (B, Hyp, K, 2)
-
-    # --- angular voting -------------------------------------------------
-    # vote(pixel, hyp, kp) = [cos(angle between (hyp - pixel) and dir) > thr]
-    diff = hyp[:, :, None, :, :] - grid[None, None, :, None, :]  # (B,Hyp,P,K,2)
-    dn = jnp.linalg.norm(diff, axis=-1) + _EPS
-    cos = (jnp.einsum('bhpki,bpki->bhpk', diff, d) / dn)
-    votes = (cos > inlier_threshold).astype(vertex.dtype) * m[:, None, :, None]
-    counts = votes.sum(axis=2)                                # (B, Hyp, K)
+    hyp = _generate_hypotheses(kh, coords, dirs, wt, n_hypotheses)
+    counts = _vote_counts_chunked(hyp, coords, dirs, wt,
+                                  inlier_threshold, hyp_chunk)  # (B, Hyp, K)
 
     best = jnp.argmax(counts, axis=1)                         # (B, K)
     best_counts = jnp.take_along_axis(counts, best[:, None, :], axis=1)[:, 0]
     best_hyp = jnp.take_along_axis(
         hyp, best[:, None, :, None], axis=1)[:, 0]            # (B, K, 2)
-    best_votes = jnp.take_along_axis(
-        votes, best[:, None, None, :], axis=1)[:, 0]          # (B, P, K)
+    best_votes = _votes_for(best_hyp, coords, dirs, wt,
+                            inlier_threshold)                 # (B, N, K)
 
     # --- inlier-weighted least squares refinement -----------------------
     # Each inlier pixel constrains n.y = n.p with n = perp(dir)
     # (reference: ransac_voting_gpu.py:580-597 batched 2x2 normal equations).
-    n_perp = jnp.stack([-d[..., 1], d[..., 0]], axis=-1)      # (B, P, K, 2)
-    wv = best_votes                                           # (B, P, K)
-    A = jnp.einsum('bpk,bpki,bpkj->bkij', wv, n_perp, n_perp)  # (B, K, 2, 2)
-    rhs = jnp.einsum('bpk,bpki,bpkj,bpj->bki', wv, n_perp, n_perp,
-                     jnp.broadcast_to(grid, (b,) + grid.shape))
+    n_perp = jnp.stack([-dirs[..., 1], dirs[..., 0]], axis=-1)  # (B, N, K, 2)
+    wv = best_votes                                           # (B, N, K)
+    A = jnp.einsum('bnk,bnki,bnkj->bkij', wv, n_perp, n_perp)  # (B, K, 2, 2)
+    rhs = jnp.einsum('bnk,bnki,bnkj,bnj->bki', wv, n_perp, n_perp, coords)
     det = (A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0])
     ok = (jnp.abs(det) > 1e-6) & (best_counts >= min_inliers)
     safe_det = jnp.where(jnp.abs(det) < 1e-6, 1.0, det)
@@ -137,27 +225,112 @@ def ransac_voting(mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
     keypoints = jnp.where(ok[..., None], refined, best_hyp)
 
     # --- hypothesis distribution (mean/cov) ------------------------------
-    # vote-weighted over hypotheses (reference :333-406 uses the winning
-    # mean then re-votes; we weight the hypothesis cloud by its counts).
-    cw = counts / (counts.sum(axis=1, keepdims=True) + _EPS)  # (B, Hyp, K)
-    mean = jnp.einsum('bhk,bhki->bki', cw, hyp)
-    dev = hyp - mean[:, None, :, :]
-    cov = jnp.einsum('bhk,bhki,bhkj->bkij', cw, dev, dev)
+    # Ratio-thresholded moments (reference ransac_voting_gpu.py:392-401):
+    # hypotheses below max_ratio - 0.1 are discarded, which kills the
+    # far-away intersections of near-parallel pixel pairs that would
+    # otherwise dominate the second moment.  For the eval path's exact
+    # covariance (looser 0.99 threshold, fresh cloud) call
+    # estimate_voting_distribution_with_mean explicitly.
+    ratio = counts / (wt.sum(axis=1)[:, None, None] + _EPS)   # (B, Hyp, K)
+    thresh = ratio.max(axis=1, keepdims=True) - 0.1
+    r = jnp.where(ratio < thresh, 0.0, ratio)
+    mean = (jnp.einsum('bhk,bhki->bki', r, hyp) /
+            (r.sum(axis=1)[..., None] + _EPS))
+    cov = distribution_moments_with_mean(hyp, ratio, keypoints)
     return VotingResult(keypoints=keypoints, mean=mean, covariance=cov,
                         inlier_counts=best_counts)
 
 
+def distribution_moments_with_mean(hyp: jnp.ndarray, ratio: jnp.ndarray,
+                                   mean: jnp.ndarray) -> jnp.ndarray:
+    """Covariance of the hypothesis cloud around a GIVEN mean.
+
+    Pure moment computation matching the reference's tail exactly
+    (ransac_voting_gpu.py:392-401): per-keypoint inlier ratios below
+    ``max - 0.1`` are zeroed, then
+    ``cov = sum_h ratio_h (hyp_h - mean)(hyp_h - mean)^T / (sum ratio + 1e-3)``.
+
+    hyp (B, Hyp, K, 2), ratio (B, Hyp, K), mean (B, K, 2) -> (B, K, 2, 2).
+    """
+    thresh = ratio.max(axis=1, keepdims=True) - 0.1           # (B, 1, K)
+    r = jnp.where(ratio < thresh, 0.0, ratio)                 # (B, Hyp, K)
+    dev = hyp - mean[:, None, :, :]                           # (B, Hyp, K, 2)
+    cov = jnp.einsum('bhk,bhki,bhkj->bkij', r, dev, dev)
+    return cov / (r.sum(axis=1)[..., None, None] + 1e-3)
+
+
+def distribution_moments(hyp: jnp.ndarray, ratio: jnp.ndarray,
+                         topk: int = 128):
+    """Top-k-weighted mean and covariance of the hypothesis cloud.
+
+    Matches reference ransac_voting_gpu.py:318-331: keep the ``topk``
+    highest inlier ratios per keypoint (zero the rest), then weighted
+    mean and covariance.  -> (mean (B, K, 2), cov (B, K, 2, 2)).
+    """
+    b, n_hyp, k = ratio.shape
+    topk = min(topk, n_hyp)
+    rt = jnp.moveaxis(ratio, 1, 2)                            # (B, K, Hyp)
+    vals, _ = jax.lax.top_k(rt, topk)
+    kth = vals[..., -1]                                       # (B, K)
+    r = jnp.where(rt >= kth[..., None], rt, 0.0)              # (B, K, Hyp)
+    r = jnp.moveaxis(r, 2, 1)                                 # (B, Hyp, K)
+    rsum = r.sum(axis=1) + _EPS                               # (B, K)
+    mean = jnp.einsum('bhk,bhki->bki', r, hyp) / rsum[..., None]
+    dev = hyp - mean[:, None, :, :]
+    cov = jnp.einsum('bhk,bhki,bhkj->bkij', r, dev, dev)
+    cov = cov / rsum[..., None, None]
+    return mean, cov
+
+
+def _hypothesis_cloud(mask, vertex, key, n_hypotheses, n_points,
+                      inlier_threshold, hyp_chunk):
+    """Shared front half of both distribution estimators: fresh cloud +
+    inlier ratios (count / foreground weight sum)."""
+    kg, kh = jax.random.split(key)
+    coords, dirs, wt = _gather_foreground(mask, vertex, kg, n_points)
+    hyp = _generate_hypotheses(kh, coords, dirs, wt, n_hypotheses)
+    counts = _vote_counts_chunked(hyp, coords, dirs, wt,
+                                  inlier_threshold, hyp_chunk)
+    foreground = wt.sum(axis=1) + _EPS                        # (B,)
+    ratio = counts / foreground[:, None, None]                # (B, Hyp, K)
+    return hyp, ratio
+
+
+@partial(jax.jit,
+         static_argnames=('n_hypotheses', 'n_points', 'hyp_chunk', 'topk'))
+def estimate_voting_distribution(
+        mask: jnp.ndarray, vertex: jnp.ndarray, key: jax.Array,
+        n_hypotheses: int = 1024, inlier_threshold: float = 0.99,
+        n_points: int = 2048, hyp_chunk: int = 32, topk: int = 128):
+    """Fresh-cloud voting distribution (mean, cov), top-k weighting.
+
+    Parity with reference ransac_voting_gpu.py:263-331 (round_hyp_num x
+    rounds collapses into one ``n_hypotheses`` budget; the reference
+    default min_hyp_num=4096 is available by passing n_hypotheses=4096).
+    """
+    hyp, ratio = _hypothesis_cloud(mask, vertex, key, n_hypotheses,
+                                   n_points, inlier_threshold, hyp_chunk)
+    return distribution_moments(hyp, ratio, topk=topk)
+
+
+@partial(jax.jit, static_argnames=('n_hypotheses', 'n_points', 'hyp_chunk'))
 def estimate_voting_distribution_with_mean(
         mask: jnp.ndarray, vertex: jnp.ndarray, mean: jnp.ndarray,
-        key: jax.Array, n_hypotheses: int = 128,
-        inlier_threshold: float = 0.99) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Re-vote around a given mean and return (mean, covariance (B,K,2,2)).
+        key: jax.Array, n_hypotheses: int = 1024,
+        inlier_threshold: float = 0.99, n_points: int = 2048,
+        hyp_chunk: int = 32) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Voting distribution around a GIVEN mean -> (mean, cov (B,K,2,2)).
 
-    Parity with reference ransac_voting_gpu.py:333-406: generates a fresh
-    hypothesis cloud, votes with a looser threshold, and computes the
-    vote-weighted first two moments for downstream uncertainty PnP.
+    True parity with reference ransac_voting_gpu.py:333-406: a fresh
+    hypothesis cloud is generated and voted with the looser threshold
+    (0.99); per keypoint, hypotheses whose inlier ratio is below
+    ``max_ratio - 0.1`` are discarded; the covariance is the ratio-
+    weighted second moment of the surviving cloud around the SUPPLIED
+    mean (normalizer ``sum(ratio) + 1e-3``), and the supplied mean is
+    returned unchanged.  This is the covariance that feeds
+    covariance-weighted (uncertainty) PnP in the PVNet eval path.
     """
-    res = ransac_voting(mask, vertex, key,
-                        inlier_threshold=inlier_threshold,
-                        n_hypotheses=n_hypotheses)
-    return res.mean, res.covariance
+    hyp, ratio = _hypothesis_cloud(mask, vertex, key, n_hypotheses,
+                                   n_points, inlier_threshold, hyp_chunk)
+    cov = distribution_moments_with_mean(hyp, ratio, mean)
+    return mean, cov
