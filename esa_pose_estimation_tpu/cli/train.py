@@ -100,8 +100,26 @@ def train(args) -> dict:
     model = HRNet(model_cfg, dtype=dtype)
 
     # data -----------------------------------------------------------------
-    use_real = args.train_pkl is not None
-    if use_real:
+    # three sources: --train-shard (C++ native loader over a packed SPD1
+    # shard — the production input runtime), --train-pkl (reference pickle
+    # layout through the Python BatchLoader), or self-contained synthetic.
+    use_shard = args.train_shard is not None
+    use_real = args.train_pkl is not None or use_shard
+    shard_loader = None
+    if use_shard:
+        from esa_pose_estimation_tpu.data.native_loader import (
+            NativeBatchLoader)
+        shard_loader = NativeBatchLoader(args.train_shard, cfg.batch_size,
+                                         n_threads=args.loader_threads,
+                                         shuffle=True, seed=cfg.seed)
+        if shard_loader.meta.n_kp != model_cfg.num_keypoints:
+            raise ValueError(
+                f'shard has {shard_loader.meta.n_kp} keypoints but the '
+                f'model outputs {model_cfg.num_keypoints}')
+        points_3d = synthetic.spacecraft_points(model_cfg.num_keypoints)
+        steps_per_epoch = max(shard_loader.meta.n_records // cfg.batch_size,
+                              1)
+    elif use_real:
         train_records = speed_data.records_from_pickle(args.train_pkl,
                                                        args.image_root)
         test_records = (speed_data.records_from_pickle(args.test_pkl,
@@ -138,7 +156,15 @@ def train(args) -> dict:
         t0 = time.time()
         losses = AverageMeter()
         ekey = jax.random.fold_in(key, epoch)
-        if use_real:
+        if use_shard:
+            batch_iter = (
+                (data_pipeline.build_batch(
+                    jnp.asarray(b['frame']), jnp.asarray(b['bbox']),
+                    jnp.asarray(b['keypoints_2d']),
+                    jax.random.fold_in(ekey, j), crop_size=cfg.crop_size,
+                    train=True), b)
+                for j, b in enumerate(shard_loader))
+        elif use_real:
             loader = speed_data.BatchLoader(train_records, cfg.batch_size,
                                             shuffle=True, seed=epoch)
             batch_iter = (
@@ -172,7 +198,20 @@ def train(args) -> dict:
 
         if epoch > cfg.eval_after or epoch % cfg.eval_every == cfg.eval_every - 1:
             variables = {'params': st.params, 'batch_stats': st.batch_stats}
-            if use_real:
+            if use_shard:
+                import itertools
+
+                from esa_pose_estimation_tpu.data.native_loader import (
+                    NativeBatchLoader)
+                eval_loader = NativeBatchLoader(
+                    args.train_shard, cfg.batch_size,
+                    n_threads=args.loader_threads, shuffle=False)
+                result = evaluate(model, variables,
+                                  itertools.islice(iter(eval_loader), 4),
+                                  points_3d, jax.random.fold_in(key, 777),
+                                  cfg.crop_size)
+                eval_loader.close()
+            elif use_real:
                 eval_loader = speed_data.BatchLoader(
                     test_records, min(cfg.batch_size, len(test_records)),
                     shuffle=False)
@@ -180,17 +219,18 @@ def train(args) -> dict:
                                   jax.random.fold_in(key, 777),
                                   cfg.crop_size)
             else:
-                eval_batches = []
-                for j in range(4):
-                    b = synthetic.make_batch(
+                # frame-carrying synthetic batches: the eval drives the
+                # full frames -> crop -> heatmap -> pose serving path on
+                # the same samples that built the training-style targets.
+                eval_batches = [
+                    synthetic.make_batch(
                         jax.random.fold_in(key, 9000 + j), cfg.batch_size,
-                        points_3d, crop_size=cfg.crop_size)
-                    eval_batches.append({
-                        'frame': b['image'],  # unused by evaluate
-                        'bbox': b['bbox'], 'quat': b['quat'],
-                        'trans': b['trans'], '_raw': b})
-                result = _evaluate_synthetic(model, variables, eval_batches,
-                                             points_3d, key, cfg.crop_size)
+                        points_3d, crop_size=cfg.crop_size,
+                        with_frames=True)
+                    for j in range(4)]
+                result = evaluate(model, variables, eval_batches, points_3d,
+                                  jax.random.fold_in(key, 777),
+                                  cfg.crop_size)
             best = ckpt.save_rolling(st, epoch,
                                      score_tran=result['score_t'],
                                      score_rotate=result['score_r'],
@@ -203,6 +243,8 @@ def train(args) -> dict:
             print(f"eval epoch {epoch + 1}: speed={result['speed']:.5f} "
                   f"(t={result['score_t']:.5f}, r={result['score_r']:.5f})")
 
+    if shard_loader is not None:
+        shard_loader.close()
     logger.close()
     events.close()
     tcp.close()
@@ -210,44 +252,16 @@ def train(args) -> dict:
     return result
 
 
-def _evaluate_synthetic(model, variables, eval_batches, points_3d, key,
-                        crop_size):
-    """Synthetic eval path: frames are regenerated on device."""
-    score_t = AverageMeter()
-    score_r = AverageMeter()
-    for i, eb in enumerate(eval_batches):
-        raw = eb['_raw']
-        # re-run the inference pipeline from heatmap predictions
-        out = infer_poses(model, variables, _frames_from(raw), eb['bbox'],
-                          points_3d, jax.random.fold_in(key, i),
-                          crop_size=crop_size, min_keypoints=0)
-        scores = speed_score_from_matrices(out.R, out.trans,
-                                           eb['quat'], eb['trans'])
-        score_t.update(float(jnp.mean(scores.score_t)))
-        score_r.update(float(jnp.mean(scores.score_r)))
-    return {'score_t': score_t.avg, 'score_r': score_r.avg,
-            'speed': score_t.avg + score_r.avg, 'pix_err': float('nan')}
-
-
-def _frames_from(raw_batch):
-    """Recover full frames for synthetic eval batches."""
-    import jax.numpy as jnp
-
-    from esa_pose_estimation_tpu.data import synthetic as syn
-    # The synthetic batch keeps crops, not frames; re-render frames from
-    # the stored pose is wasteful — instead reuse the crop directly by
-    # passing a full-frame bbox.  Simpler: re-make samples deterministically
-    # is not possible here, so render frames from stored 2D keypoints.
-    kp = raw_batch['keypoints_crop'] / raw_batch['rate'][:, None, None] + \
-        raw_batch['origin'][:, None, :].astype(jnp.float32)
-    return jax.vmap(lambda k: syn.render_frame(k))(kp)
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--workdir', default='runs/esa')
     ap.add_argument('--train-pkl', default=None)
     ap.add_argument('--test-pkl', default=None)
+    ap.add_argument('--train-shard', default=None,
+                    help='SPD1 shard path consumed via the native C++ '
+                         'loader (data/shards.py layout; 3D model points '
+                         'are the canonical spacecraft_points set)')
+    ap.add_argument('--loader-threads', type=int, default=4)
     ap.add_argument('--image-root', default='')
     ap.add_argument('--epochs', type=int, default=100)
     ap.add_argument('--batch-size', type=int, default=32)

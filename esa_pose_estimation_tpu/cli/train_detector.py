@@ -1,0 +1,183 @@
+"""Detector training driver — gives the two-stage pipeline a trained box
+stage.
+
+The reference took its boxes from a COCO-pretrained YOLOv5s run offline
+(reference: simple_detect.py:5-19; boxes stored in the dataset pickles,
+data_load4.py:110).  The TPU framework instead trains its own in-graph
+TinyDetector (models/detector.py) so detect -> crop -> keypoint is one
+jitted program with no torch-hub dependency.  This driver trains it on
+synthetic SPEED-like frames end-to-end on device and reports box IoU on a
+held-out set, mirroring what the pretrained YOLO supplied.
+
+The detector consumes ``downscale``x average-pooled frames — exactly what
+``pipeline.detect_frames`` feeds it at serving time — so train and serve
+distributions match by construction.
+
+Usage:
+  python -m esa_pose_estimation_tpu.cli.train_detector --workdir runs/det \
+      [--epochs 6] [--steps-per-epoch 50] [--batch-size 16] [--downscale 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('EPT_COMPILE_CACHE',
+                                 os.path.expanduser('~/.ept_jax_cache')))
+
+from esa_pose_estimation_tpu.data import synthetic
+from esa_pose_estimation_tpu.models import detector as det_mod
+from esa_pose_estimation_tpu.obs import JsonlLogger, TsvLogger
+from esa_pose_estimation_tpu.ops.nms import iou_matrix
+from esa_pose_estimation_tpu.pipeline import detect_frames, downsample_frames
+from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
+from esa_pose_estimation_tpu.train.state import TrainState
+
+
+def make_frame_batch(key: jax.Array, batch_size: int, points_3d, height: int,
+                     width: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(frames (B, H, W) [0,255], bboxes (B, 4) full-frame pixels)."""
+    keys = jax.random.split(key, batch_size)
+    samples = jax.vmap(
+        lambda k: synthetic.make_sample(k, points_3d, height=height,
+                                        width=width))(keys)
+    return samples.image, samples.bbox
+
+
+def create_detector_state(model, key, lr: float, input_hw: tuple[int, int],
+                          total_steps: int = 0) -> TrainState:
+    """``total_steps > 0`` enables cosine LR decay to lr/100 (the constant
+    -LR run plateaus then oscillates; decay holds the late-epoch IoU)."""
+    variables = model.init(key, jnp.zeros((1,) + input_hw + (1,)),
+                           train=False)
+    sched = (optax.cosine_decay_schedule(lr, total_steps, alpha=0.01)
+             if total_steps > 0 else lr)
+    return TrainState.create(
+        apply_fn=model.apply, params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        tx=optax.adam(sched))
+
+
+def make_train_step(model, stride: int, downscale: int):
+    @jax.jit
+    def step(state: TrainState, frames, bboxes):
+        ds = downsample_frames(frames, downscale)
+        bb = bboxes / float(downscale)
+        # SAME-padded stride-2 convs produce ceil(in/stride) cells
+        grid_hw = (-(-ds.shape[1] // stride), -(-ds.shape[2] // stride))
+        targets = det_mod.detection_targets(bb, grid_hw, stride)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {'params': params, 'batch_stats': state.batch_stats},
+                ds[..., None], train=True, mutable=['batch_stats'])
+            return det_mod.detection_loss(out, targets), mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        state = state.apply_gradients(grads=grads)
+        state = state.replace(batch_stats=mut['batch_stats'])
+        return state, loss
+
+    return step
+
+
+def evaluate_detector(model, variables, points_3d, key, n_batches: int,
+                      batch_size: int, height: int, width: int,
+                      stride: int, downscale: int) -> dict[str, float]:
+    """Held-out mean IoU + detection rate of the top box vs ground truth."""
+    ious = []
+    for i in range(n_batches):
+        frames, gt = make_frame_batch(jax.random.fold_in(key, i),
+                                      batch_size, points_3d, height, width)
+        pred, _ = detect_frames(model, variables, frames, stride, downscale)
+        iou = jax.vmap(lambda a, b: iou_matrix(a[None], b[None])[0, 0])(
+            pred, gt)
+        ious.append(np.asarray(iou))
+    iou = np.concatenate(ious)
+    return {'mean_iou': float(iou.mean()),
+            'detect_rate_50': float((iou > 0.5).mean()),
+            'detect_rate_75': float((iou > 0.75).mean())}
+
+
+def train(args) -> dict:
+    os.makedirs(args.workdir, exist_ok=True)
+    model = det_mod.TinyDetector(width=args.width_ch, stride=args.stride)
+    points_3d = synthetic.spacecraft_points(args.num_keypoints)
+    in_hw = (args.height // args.downscale, args.width // args.downscale)
+    state = create_detector_state(model, jax.random.PRNGKey(args.seed),
+                                  args.lr, in_hw,
+                                  total_steps=args.epochs *
+                                  args.steps_per_epoch)
+    ckpt = CheckpointManager(os.path.join(args.workdir, 'net_detector'))
+    state, begin_epoch = ckpt.restore('last', state)
+
+    logger = TsvLogger(os.path.join(args.workdir, 'log_detector.txt'),
+                       resume=True)
+    logger.set_names(['Epoch', 'LR', 'Train Loss', 'Mean IoU'])
+    events = JsonlLogger(os.path.join(args.workdir, 'events.jsonl'))
+
+    step = make_train_step(model, args.stride, args.downscale)
+    key = jax.random.PRNGKey(args.seed + 1)
+    result = {}
+    best_iou = -1.0
+    for epoch in range(begin_epoch, args.epochs):
+        t0 = time.time()
+        losses = []
+        for i in range(args.steps_per_epoch):
+            frames, bboxes = make_frame_batch(
+                jax.random.fold_in(key, epoch * 100000 + i),
+                args.batch_size, points_3d, args.height, args.width)
+            state, loss = step(state, frames, bboxes)
+            losses.append(float(loss))
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
+        result = evaluate_detector(
+            model, variables, points_3d, jax.random.fold_in(key, 999999),
+            args.eval_batches, args.batch_size, args.height, args.width,
+            args.stride, args.downscale)
+        loss_avg = float(np.mean(losses))
+        logger.append([epoch + 1, args.lr, loss_avg, result['mean_iou']])
+        events.log('epoch', epoch=epoch + 1, loss=loss_avg,
+                   seconds=time.time() - t0, **result)
+        ckpt.save_rolling(state, epoch)
+        if result['mean_iou'] > best_iou:
+            best_iou = result['mean_iou']
+            ckpt.save('best_iou', state, epoch)
+        print(f"detector epoch {epoch + 1}: loss {loss_avg:.4f}  "
+              f"IoU {result['mean_iou']:.3f}  "
+              f"rate@.5 {result['detect_rate_50']:.3f}")
+    logger.close()
+    events.close()
+    return result
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--workdir', default='runs/detector')
+    ap.add_argument('--epochs', type=int, default=6)
+    ap.add_argument('--steps-per-epoch', type=int, default=50)
+    ap.add_argument('--batch-size', type=int, default=16)
+    ap.add_argument('--height', type=int, default=1200)
+    ap.add_argument('--width', type=int, default=1920)
+    ap.add_argument('--downscale', type=int, default=4)
+    ap.add_argument('--stride', type=int, default=16)
+    ap.add_argument('--width-ch', type=int, default=32)
+    ap.add_argument('--num-keypoints', type=int, default=30)
+    ap.add_argument('--eval-batches', type=int, default=4)
+    ap.add_argument('--lr', type=float, default=1e-3)
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args(argv)
+    return train(args)
+
+
+if __name__ == '__main__':
+    main()

@@ -97,6 +97,52 @@ def read_meta(path: str) -> ShardMeta:
                      compressed=bool(c))
 
 
+def write_synthetic_shard(path: str, n_records: int,
+                          height: int = 1200, width: int = 1920,
+                          n_kp: int = 30, compressed: bool = False,
+                          batch: int = 16, seed: int = 0) -> int:
+    """Render synthetic SPEED-like frames and pack them into one shard.
+
+    Gives the native C++ loader a realistic full-frame corpus without the
+    real dataset, so the system-level ingest benchmark (host decode + H2D
+    + device pipeline) and the ``--train-shard`` training path can run
+    self-contained.  ``compressed=False`` writes raw uint8 frames (the
+    high-throughput production layout); ``True`` writes PNG streams (the
+    reference's on-disk format, decode-bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from esa_pose_estimation_tpu.data import synthetic
+
+    pts = synthetic.spacecraft_points(n_kp)
+
+    @jax.jit
+    def make(keys):
+        s = jax.vmap(lambda k: synthetic.make_sample(
+            k, pts, height=height, width=width))(keys)
+        # cast to uint8 ON device: a (B, H, W) f32 frame batch is 4x the
+        # transfer bytes through the device tunnel
+        return s._replace(
+            image=jnp.clip(s.image, 0, 255).astype(jnp.uint8))
+
+    written = 0
+    with ShardWriter(path, height, width, n_kp, compressed=compressed) as w:
+        key = jax.random.PRNGKey(seed)
+        while written < n_records:
+            key, sub = jax.random.split(key)
+            s = make(jax.random.split(sub, batch))
+            frames = np.asarray(s.image)
+            bbox = np.asarray(s.bbox)
+            kp2d = np.asarray(s.keypoints_2d)
+            quat = np.asarray(s.quat)
+            trans = np.asarray(s.trans)
+            for i in range(min(batch, n_records - written)):
+                w.add(f'synth{written:06d}.png', frames[i], bbox[i],
+                      kp2d[i], quat[i], trans[i])
+                written += 1
+    return written
+
+
 def write_shard_from_records(path: str, records, image_root: str = '',
                              height: int = 1200, width: int = 1920,
                              compressed: bool = True) -> int:

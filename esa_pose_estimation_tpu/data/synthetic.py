@@ -102,11 +102,18 @@ def render_frame(keypoints_2d: jnp.ndarray, height: int = 1200,
     return jnp.clip(acc, 0.0, 1.0) * 255.0
 
 
+def scaled_intrinsics(height: int, width: int) -> jnp.ndarray:
+    """SPEED camera scaled to a non-native frame size (small-frame tests)."""
+    K = jnp.asarray(camera.SPEED_K, jnp.float32)
+    s = jnp.array([width / 1920.0, height / 1200.0, 1.0], jnp.float32)
+    return K * s[:, None]
+
+
 def make_sample(key: jax.Array, points_3d: jnp.ndarray,
                 height: int = 1200, width: int = 1920,
                 render: bool = True) -> Sample:
     q, t = random_pose(key)
-    K = jnp.asarray(camera.SPEED_K, jnp.float32)
+    K = scaled_intrinsics(height, width)
     R = camera.quat_to_rotmat(q)
     uv = camera.project_points(points_3d, R, t, K)
     margin = 12.0
@@ -122,7 +129,10 @@ def make_sample(key: jax.Array, points_3d: jnp.ndarray,
 
 def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
                crop_size: int = 128, sigma: float = 2.0,
-               render: bool = True) -> dict[str, jnp.ndarray]:
+               render: bool = True,
+               with_frames: bool = False,
+               height: int = 1200, width: int = 1920
+               ) -> dict[str, jnp.ndarray]:
     """A full training batch: crops + heatmap/weight targets (NHWC).
 
     Pipeline parity with ESADataSet.__getitem__ (data_load4.py:103-203),
@@ -132,13 +142,20 @@ def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
     For training throughput the crop imagery is rendered directly in crop
     space (sum of Gaussian blobs at the crop-space keypoints with the
     crop-scaled spot size) instead of rendering 1920x1200 frames and
-    resampling them — identical geometry, ~100x less pixel work.  Full
-    frames are only produced by :func:`make_sample` (serving benchmarks).
+    resampling them — identical geometry, ~100x less pixel work.
+
+    ``with_frames=True`` additionally renders the full frames (keys
+    'frame' (B, H, W) and full-frame 'keypoints_2d') so evaluation can
+    drive the complete frames -> crop -> heatmap -> pose serving path on
+    exactly the samples that produced the targets.
     """
     keys = jax.random.split(key, batch_size)
     samples = jax.vmap(
-        lambda k: make_sample(k, points_3d, render=False))(keys)
-    origins, crop_sizes, size = crop_ops.adjust_bbox(samples.bbox)
+        lambda k: make_sample(k, points_3d, height=height, width=width,
+                              render=False))(keys)
+    origins, crop_sizes, size = crop_ops.adjust_bbox(samples.bbox,
+                                                     img_w=width,
+                                                     img_h=height)
     rates = crop_size / size.astype(jnp.float32)
     kp_crop = (samples.keypoints_2d - origins[:, None, :].astype(jnp.float32)
                ) * rates[:, None, None]
@@ -157,7 +174,7 @@ def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
     else:
         crops = jnp.zeros((batch_size, crop_size, crop_size), jnp.float32)
     image = crop_ops.normalize(crops)[..., None]           # (B, S, S, 1)
-    return {
+    batch = {
         'image': image,
         'heatmaps': jnp.transpose(hm, (0, 2, 3, 1)),       # NHWC
         'weights': jnp.transpose(wm, (0, 2, 3, 1)),
@@ -168,3 +185,8 @@ def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
         'trans': samples.trans,
         'bbox': samples.bbox,
     }
+    if with_frames:
+        batch['frame'] = jax.vmap(
+            lambda kp: render_frame(kp, height, width))(samples.keypoints_2d)
+        batch['keypoints_2d'] = samples.keypoints_2d
+    return batch

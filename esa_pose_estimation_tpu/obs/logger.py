@@ -101,7 +101,12 @@ class TcpPusher:
         try:
             self.sock = socket.create_connection((self.host, self.port),
                                                  timeout=2.0)
-            return self.send('start', type='create', classname=classname)
+            # reference handshake: announce with a timestamp on both
+            # channels (tcp_send.py:23-25)
+            import datetime
+            now = datetime.datetime.now().strftime('%Y-%m-%d-%H-%M-%S')
+            ok = self.send(now, type='log', classname=classname)
+            return ok and self.send(now, type='load', classname=classname)
         except OSError:
             self.sock = None
             return False
@@ -110,7 +115,13 @@ class TcpPusher:
         if self.sock is None:
             return False
         try:
-            frame = f'\\runlog {self.proname}/{type}/{classname}/{data}\n'
+            # Exact reference frame (tcp_send.py:29-35): '\runlog' marker,
+            # then CRLF-separated key:value lines, NUL-terminated.
+            frame = ('\\runlog\r\n'
+                     f'proname:{self.proname}\r\n'
+                     f'ltype:{type}\r\n'
+                     f'classname:{classname}\r\n'
+                     f'data:{data}\0')
             self.sock.sendall(frame.encode('utf-8'))
             return True
         except OSError:

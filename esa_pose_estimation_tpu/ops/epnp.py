@@ -8,15 +8,18 @@ demo.py:261 / val.py:194).  Design points that differ from an OpenCV port:
   subsets (impossible under jit), every solve takes a per-point weight
   vector.  RANSAC sampling, inlier re-fits and confidence weighting all
   become weight masks over the same static-(N) arrays.
-* **Natively batched, flat leading dim** — all linear algebra (12x12 eigh,
-  3x3 svd) runs on ONE flattened batch axis.  Nested ``vmap`` lowers these
-  decompositions to per-element loops on TPU (measured ~1000x slower than
-  the natively batched op), so the implementation broadcasts and flattens
-  instead of relying on vmap nesting.
+* **Natively batched, flat leading dim, no eigh/svd in the hot path** —
+  the 12x12 null-space extraction uses shifted inverse iteration
+  (``core.linalg.smallest_eigvecs``) and the 3x3 rotation fit uses Newton
+  polar decomposition (``core.linalg.polar_rotation``); both are batched
+  matmul/solve chains that run on ONE flattened batch axis.  General
+  ``eigh``/``svd`` under nested ``vmap`` lower to per-element loops on TPU
+  (measured ~1000x slower), which is exactly what this formulation avoids.
 * **Shared precomputation** — the control frame, barycentric coordinates
   and each point's rank-2 contribution to M^T M depend only on the problem,
-  not the mask; RANSAC over H hypotheses is H masked contractions + eigh +
-  Procrustes (see :class:`EpnpShared`).
+  not the mask; RANSAC over H hypotheses is H masked contractions +
+  inverse-iteration null-space solves + Procrustes (see
+  :class:`EpnpShared`).
 * All contractions pinned to ``Precision.HIGHEST`` (see core/linalg.py);
   f32 is stable once image coordinates are normalized by K.
 

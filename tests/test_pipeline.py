@@ -22,18 +22,20 @@ class PerfectHeatmapModel:
     the ground-truth geometry — isolates the serving pipeline (crop, decode,
     select, PnP) from model quality."""
 
-    def __init__(self, points_3d, quats, trans, crop_size=128, sigma=2.0):
+    def __init__(self, points_3d, quats, trans, crop_size=128, sigma=2.0,
+                 K=None):
         self.points_3d = points_3d
         self.quats = quats
         self.trans = trans
         self.crop_size = crop_size
         self.sigma = sigma
+        self.K = camera.SPEED_K if K is None else K
         self._cursor = {}
 
     def apply(self, variables, x, train=False):
         # variables carries (rate, origin) for the current batch
         rate, origin = variables['rate'], variables['origin']
-        K = jnp.asarray(camera.SPEED_K, jnp.float32)
+        K = jnp.asarray(self.K, jnp.float32)
         R = camera.quat_to_rotmat(self.quats)
         uv = camera.project_points(
             jnp.broadcast_to(self.points_3d,
