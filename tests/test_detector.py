@@ -99,8 +99,11 @@ class TestDetector:
 
         # rebuild the trained detector from its checkpoint
         model = det.TinyDetector(width=8, stride=16)
+        # the restore template must match the trained optimizer structure
+        # (cosine schedule => non-empty schedule state in opt_state)
         state = td.create_detector_state(model, jax.random.PRNGKey(0),
-                                         1e-3, (h // ds, w // ds))
+                                         1e-3, (h // ds, w // ds),
+                                         total_steps=3 * 25)
         from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
         ckpt = CheckpointManager(str(tmp_path / 'net_detector'))
         state, epoch = ckpt.restore('last', state)
