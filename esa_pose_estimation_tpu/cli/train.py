@@ -45,7 +45,8 @@ from esa_pose_estimation_tpu.utils import config as cfg_mod
 
 
 def evaluate(model, variables, eval_batches, points_3d, key,
-             crop_size: int = 128):
+             crop_size: int = 128, norm_mean: float = 0.449,
+             norm_std: float = 0.229):
     """SPEED-score evaluation loop (demo.py:79-369 parity, batched)."""
     score_t = AverageMeter()
     score_r = AverageMeter()
@@ -56,7 +57,8 @@ def evaluate(model, variables, eval_batches, points_3d, key,
                           jnp.asarray(batch['bbox']),
                           points_3d, jax.random.fold_in(key, i),
                           crop_size=crop_size, conf_threshold=0.6,
-                          min_keypoints=0)
+                          min_keypoints=0, norm_mean=norm_mean,
+                          norm_std=norm_std)
         scores = speed_score_from_matrices(
             out.R, out.trans, jnp.asarray(batch['quat']),
             jnp.asarray(batch['trans']))
@@ -98,6 +100,8 @@ def train(args) -> dict:
     model_cfg = (cfg_mod.hrnet_tiny() if args.tiny else cfg_mod.hrnet_esa())
     dtype = jnp.bfloat16 if cfg.compute_dtype == 'bfloat16' else jnp.float32
     model = HRNet(model_cfg, dtype=dtype)
+    norm_mean = (args.norm_mean if args.norm_mean is not None
+                 else 0.5 if args.mixed else 0.449)
 
     # data -----------------------------------------------------------------
     # three sources: --train-shard (C++ native loader over a packed SPD1
@@ -120,10 +124,12 @@ def train(args) -> dict:
         steps_per_epoch = max(shard_loader.meta.n_records // cfg.batch_size,
                               1)
     elif use_real:
-        train_records = speed_data.records_from_pickle(args.train_pkl,
-                                                       args.image_root)
-        test_records = (speed_data.records_from_pickle(args.test_pkl,
-                                                       args.image_root)
+        # --mixed: data_load5 semantics — one pickle of synthetic-train +
+        # real_test records routed by filename length, normalized at 0.5.
+        from_pkl = (speed_data.records_from_pickle_mixed if args.mixed
+                    else speed_data.records_from_pickle)
+        train_records = from_pkl(args.train_pkl, args.image_root)
+        test_records = (from_pkl(args.test_pkl, args.image_root)
                         if args.test_pkl else train_records[:64])
         points_3d = jnp.asarray(train_records[0].keypoints_3d)
         steps_per_epoch = max(len(train_records) // cfg.batch_size, 1)
@@ -162,7 +168,7 @@ def train(args) -> dict:
                     jnp.asarray(b['frame']), jnp.asarray(b['bbox']),
                     jnp.asarray(b['keypoints_2d']),
                     jax.random.fold_in(ekey, j), crop_size=cfg.crop_size,
-                    train=True), b)
+                    train=True, norm_mean=norm_mean), b)
                 for j, b in enumerate(shard_loader))
         elif use_real:
             loader = speed_data.BatchLoader(train_records, cfg.batch_size,
@@ -172,7 +178,7 @@ def train(args) -> dict:
                     jnp.asarray(b['frame']), jnp.asarray(b['bbox']),
                     jnp.asarray(b['keypoints_2d']),
                     jax.random.fold_in(ekey, j), crop_size=cfg.crop_size,
-                    train=True), b)
+                    train=True, norm_mean=norm_mean), b)
                 for j, b in enumerate(loader))
         else:
             batch_iter = make_synthetic_epoch(
@@ -209,7 +215,7 @@ def train(args) -> dict:
                 result = evaluate(model, variables,
                                   itertools.islice(iter(eval_loader), 4),
                                   points_3d, jax.random.fold_in(key, 777),
-                                  cfg.crop_size)
+                                  cfg.crop_size, norm_mean=norm_mean)
                 eval_loader.close()
             elif use_real:
                 eval_loader = speed_data.BatchLoader(
@@ -217,7 +223,7 @@ def train(args) -> dict:
                     shuffle=False)
                 result = evaluate(model, variables, eval_loader, points_3d,
                                   jax.random.fold_in(key, 777),
-                                  cfg.crop_size)
+                                  cfg.crop_size, norm_mean=norm_mean)
             else:
                 # frame-carrying synthetic batches: the eval drives the
                 # full frames -> crop -> heatmap -> pose serving path on
@@ -230,7 +236,7 @@ def train(args) -> dict:
                     for j in range(4)]
                 result = evaluate(model, variables, eval_batches, points_3d,
                                   jax.random.fold_in(key, 777),
-                                  cfg.crop_size)
+                                  cfg.crop_size, norm_mean=norm_mean)
             best = ckpt.save_rolling(st, epoch,
                                      score_tran=result['score_t'],
                                      score_rotate=result['score_r'],
@@ -263,6 +269,13 @@ def main(argv=None):
                          'are the canonical spacecraft_points set)')
     ap.add_argument('--loader-threads', type=int, default=4)
     ap.add_argument('--image-root', default='')
+    ap.add_argument('--mixed', action='store_true',
+                    help='data_load5 semantics: --train-pkl mixes synthetic '
+                         'train + real_test records routed by filename '
+                         'length; normalization mean defaults to 0.5')
+    ap.add_argument('--norm-mean', type=float, default=None,
+                    help='crop normalization mean (default 0.449, or 0.5 '
+                         'with --mixed; data_load4.py:81/data_load5.py:83)')
     ap.add_argument('--epochs', type=int, default=100)
     ap.add_argument('--batch-size', type=int, default=32)
     ap.add_argument('--crop-size', type=int, default=128)

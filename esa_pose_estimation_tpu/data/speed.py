@@ -92,6 +92,34 @@ class Record:
     name: str = ''
 
 
+# SPEED synthetic frames are named imgNNNNNN.jpg (13 chars); real-capture
+# frames have longer names.  The reference's mixed train+real_test loader
+# routes each record to its directory by this filename length
+# (data_load5.py:110-113).
+SYNTHETIC_NAME_LEN = 13
+
+
+def mixed_image_path(image_root: str, rgb_pth: str,
+                     train_dir: str = 'train',
+                     real_dir: str = 'real_test') -> str:
+    """data_load5.py:110-113 path rule: 13-char filenames live under
+    ``train/``, everything else under ``real_test/``."""
+    sub = (train_dir if len(os.path.basename(rgb_pth)) == SYNTHETIC_NAME_LEN
+           else real_dir)
+    return os.path.join(image_root, sub, rgb_pth)
+
+
+def records_from_pickle_mixed(path: str, image_root: str = '') -> list[Record]:
+    """The data_load5 train split: one pickle mixing synthetic-train and
+    real_test records, images resolved per-record by filename length.
+    Pair with ``norm_mean=0.5`` (data_load5.py:80-88 Normalize(mean=[0.5]))
+    in ``build_batch``/``infer_poses``."""
+    out = records_from_pickle(path)
+    for r in out:
+        r.image_path = mixed_image_path(image_root, r.image_path)
+    return out
+
+
 def records_from_pickle(path: str, image_root: str = '') -> list[Record]:
     out = []
     for des in load_pickle_records(path):
