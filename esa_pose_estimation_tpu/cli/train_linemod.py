@@ -8,13 +8,20 @@ Two model modes, matching the reference's two LINEMOD formulations:
   (the lib/ PVNet path), evaluated through RANSAC voting + uncertainty PnP.
 
 Evaluation reports the LINEMOD triple (2D-projection / ADD / 5cm5°,
-evaluation.py:526-532 parity).  Without real LINEMOD data it trains on a
-synthetic sphere-ish model with rendered masks (utils/render.py), which
-exercises the identical compute path.
+evaluation.py:526-532 parity).  Two data sources:
+
+* default: a synthetic sphere-ish model with rendered masks
+  (utils/render.py), exercising the identical compute path;
+* ``--pkl-dir DIR --image-root ROOT``: the reference's real data2/ pickle
+  layout (data_load3.py:89-121) — real-train + render[:10000] + fuse
+  record mixing, LINEMOD crop rule (x1.1, min-size, 640x480 clamp),
+  ImageNet RGB normalization, eval on the {cls}_test.pkl split, and
+  optional OCCLUSION_LINEMOD eval (``--occ-pkl-dir`` + ``--occ-image-root``,
+  result_show.py:95-98 parity) appended to ``<workdir>/occ_result.txt``.
 
 Usage:
   python -m esa_pose_estimation_tpu.cli.train_linemod --workdir runs/cat \
-      --mode pvnet [--epochs 10]
+      --mode pvnet [--epochs 10] [--pkl-dir data2 --image-root LINEMOD/]
 """
 
 from __future__ import annotations
@@ -28,7 +35,9 @@ import numpy as np
 import optax
 
 from esa_pose_estimation_tpu.core import camera
+from esa_pose_estimation_tpu.data import linemod as linemod_data
 from esa_pose_estimation_tpu.data.linemod import LineModModelDB
+from esa_pose_estimation_tpu.ops import crop as crop_ops
 from esa_pose_estimation_tpu.eval import evaluator
 from esa_pose_estimation_tpu.models.resnet8s import (
     ResNet8s2o,
@@ -107,16 +116,133 @@ def make_icosphere(radius=0.06, subdiv=2):
     return verts.astype(np.float32), faces
 
 
+def make_real_step(model, mode: str, size: int, num_keypoints: int, tx):
+    """One jitted optimizer step on real-layout batches: device-side
+    LINEMOD crop (x1.1 rule) -> RGB normalize -> targets -> loss."""
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, frames, bboxes, kp2d, masks):
+        origin, crop_sizes, csize = crop_ops.adjust_bbox_linemod(
+            bboxes, img_w=frames.shape[2], img_h=frames.shape[1],
+            min_size=size)
+        crops = crop_ops.crop_resize_stretch(frames, origin, crop_sizes,
+                                             size)
+        img = crop_ops.normalize_rgb(crops)
+        rate = size / csize.astype(jnp.float32)
+        kp_crop = (kp2d - origin[:, None, :].astype(jnp.float32)
+                   ) * rate[:, None, None]
+
+        def loss_fn(p):
+            out, mut = model.apply({'params': p, 'batch_stats': batch_stats},
+                                   img, train=True, mutable=['batch_stats'])
+            if mode == 'heatmap':
+                hm, wm = heatmap_ops.render_targets(kp_crop, size, size, 2.0)
+                loss = weighted_heatmap_loss(
+                    out, jnp.transpose(hm, (0, 2, 3, 1)),
+                    jnp.transpose(wm, (0, 2, 3, 1)))
+            else:
+                seg, vert = out
+                mcrop = (crop_ops.crop_resize_stretch(
+                    masks, origin, crop_sizes, size) > 0.5).astype(
+                        jnp.float32)
+                target = vertex_ops.vertex_field(mcrop, kp_crop)
+                loss = pvnet_loss(seg, vert, mcrop, target)
+            return loss, mut
+
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return (optax.apply_updates(params, updates), mut['batch_stats'],
+                opt_state, loss)
+
+    return step
+
+
+def evaluate_real(model, params, batch_stats, loader, db, cls: str,
+                  mode: str, size: int, num_keypoints: int,
+                  key) -> dict[str, float]:
+    """Real-split eval: crop -> forward -> decode -> uncrop -> PnP ->
+    LINEMOD triple (result_show.py val-loop semantics, batched)."""
+    meters = {k: evaluator.AverageMeter()
+              for k in ('projection_2d', 'add', 'cm_degree_5')}
+    model_pts = jnp.asarray(db.get_ply_model(cls), jnp.float32)
+    diameter = db.get_diameter(cls)
+    symmetric = db.is_symmetric(cls)
+    for bi, batch in enumerate(loader):
+        frames = jnp.asarray(batch['frame'])
+        bboxes = jnp.asarray(batch['bbox'])
+        n = frames.shape[0]
+        origin, crop_sizes, csize = crop_ops.adjust_bbox_linemod(
+            bboxes, img_w=frames.shape[2], img_h=frames.shape[1],
+            min_size=size)
+        crops = crop_ops.crop_resize_stretch(frames, origin, crop_sizes,
+                                             size)
+        img = crop_ops.normalize_rgb(crops)
+        out = model.apply({'params': params, 'batch_stats': batch_stats},
+                          img, train=False)
+        rate = size / csize.astype(jnp.float32)
+        kp3d = jnp.asarray(batch['keypoints_3d'])
+        Kc = jnp.asarray(batch['K'])
+        bkey = jax.random.fold_in(key, bi)
+        if mode == 'heatmap':
+            hm = jnp.transpose(out, (0, 3, 1, 2))
+            coords, maxvals = peak_ops.decode_heatmaps(hm)
+            full = coords / rate[:, None, None] \
+                + origin[:, None, :].astype(jnp.float32)
+            res = pnp_mod.ransac_epnp(kp3d, full, Kc, bkey)
+            R_pred, t_pred = res.R, res.t
+        else:
+            seg, vert = out
+            seg_mask = (jnp.argmax(seg, axis=-1) == 1).astype(jnp.float32)
+            field = vert.reshape(vert.shape[:3] + (num_keypoints, 2))
+            vres = voting_ops.ransac_voting(seg_mask, field, bkey)
+            kp_mean, kp_cov = \
+                voting_ops.estimate_voting_distribution_with_mean(
+                    seg_mask, field, vres.keypoints,
+                    jax.random.fold_in(bkey, 1))
+            full = kp_mean / rate[:, None, None] \
+                + origin[:, None, :].astype(jnp.float32)
+            # covariance scales back by 1/rate^2 under the uncrop
+            cov_full = kp_cov / (rate[:, None, None, None] ** 2)
+            R_pred, t_pred = pnp_mod.uncertainty_pnp(
+                kp3d, full, cov_full, Kc, jax.random.fold_in(bkey, 2))
+        acc = evaluator.pose_accuracy(
+            model_pts, diameter, Kc, R_pred, t_pred,
+            jnp.asarray(batch['R']), jnp.asarray(batch['t']),
+            symmetric=symmetric)
+        for k in meters:
+            meters[k].update(float(acc[k]), n=n)
+    return {k: m.avg for k, m in meters.items()}
+
+
 def train(args) -> dict:
     os.makedirs(args.workdir, exist_ok=True)
     db = LineModModelDB()
-    verts, faces = make_icosphere()
-    db.register(args.cls, vertices=verts)
-    kp3d = jnp.asarray(db.get_farthest_3d(args.cls, args.num_keypoints),
-                       jnp.float32)
-    model_pts = jnp.asarray(verts)
-    facesj = jnp.asarray(faces)
+    use_real = args.pkl_dir is not None
     size = args.crop_size
+    if use_real:
+        train_records = linemod_data.load_mixed_train_records(
+            args.pkl_dir, args.cls, use_fuse=args.use_fuse,
+            use_render=args.use_render)
+        test_records = linemod_data.load_real_split(args.pkl_dir, args.cls,
+                                                    'test')
+        args.num_keypoints = int(np.asarray(
+            train_records[0]['sift']).reshape(-1, 2).shape[0])
+        if args.ply:
+            db.register(args.cls, ply_path=args.ply)
+        else:
+            # no mesh supplied: the record's 3D keypoint cloud stands in as
+            # the ADD model (coarser than the full PLY, same metric shape)
+            db.register(args.cls, vertices=np.asarray(
+                train_records[0]['sift_3d'], np.float32).reshape(-1, 3))
+        facesj = model_pts = kp3d = None
+    else:
+        verts, faces = make_icosphere()
+        db.register(args.cls, vertices=verts)
+        kp3d = jnp.asarray(db.get_farthest_3d(args.cls, args.num_keypoints),
+                           jnp.float32)
+        model_pts = jnp.asarray(verts)
+        facesj = jnp.asarray(faces)
 
     if args.mode == 'heatmap':
         model = resnet18_8s(ver_dim=args.num_keypoints)
@@ -165,6 +291,65 @@ def train(args) -> dict:
 
     key = jax.random.PRNGKey(args.seed)
     result = {}
+
+    if use_real:
+        real_step = make_real_step(model, args.mode, size,
+                                   args.num_keypoints, tx)
+        for epoch in range(args.epochs):
+            loader = linemod_data.LinemodBatchLoader(
+                train_records, args.image_root, args.cls, args.batch_size,
+                shuffle=True, seed=args.seed + epoch,
+                frame_hw=(args.frame_h, args.frame_w))
+            losses = []
+            for batch in loader:
+                params, batch_stats, opt_state, loss = real_step(
+                    params, batch_stats, opt_state,
+                    jnp.asarray(batch['frame']), jnp.asarray(batch['bbox']),
+                    jnp.asarray(batch['keypoints_2d']),
+                    jnp.asarray(batch['mask']))
+                losses.append(float(loss))
+            logger.append([epoch + 1, args.lr, float(np.mean(losses))])
+            print(f'{args.cls} epoch {epoch + 1}: '
+                  f'loss {np.mean(losses):.5f}')
+            eval_loader = linemod_data.LinemodBatchLoader(
+                test_records, args.image_root, args.cls,
+                min(args.batch_size, len(test_records)), shuffle=False,
+                drop_last=False, frame_hw=(args.frame_h, args.frame_w))
+            result = evaluate_real(model, params, batch_stats, eval_loader,
+                                   db, args.cls, args.mode, size,
+                                   args.num_keypoints,
+                                   jax.random.fold_in(key, 555 + epoch))
+            events.log('eval', epoch=epoch + 1, **result)
+            print(f"  2D-proj {result['projection_2d']:.3f}  "
+                  f"ADD {result['add']:.3f}  "
+                  f"5cm5deg {result['cm_degree_5']:.3f}")
+
+        if args.occ_pkl_dir:
+            # OCCLUSION_LINEMOD eval (result_show.py:95-98,378 parity)
+            occ_records = linemod_data.load_occlusion_records(
+                args.occ_pkl_dir, args.cls)
+            occ_loader = linemod_data.LinemodBatchLoader(
+                occ_records, args.occ_image_root or args.image_root,
+                args.cls, min(args.batch_size, len(occ_records)),
+                shuffle=False, drop_last=False,
+                frame_hw=(args.frame_h, args.frame_w))
+            occ = evaluate_real(model, params, batch_stats, occ_loader, db,
+                                args.cls, args.mode, size,
+                                args.num_keypoints,
+                                jax.random.fold_in(key, 777))
+            result.update({f'occ_{k}': v for k, v in occ.items()})
+            events.log('occ_eval', **occ)
+            with open(os.path.join(args.workdir, 'occ_result.txt'),
+                      'a') as fi:
+                fi.write(f"{args.cls}\t{occ['projection_2d']:.6f}\t"
+                         f"{occ['add']:.6f}\t{occ['cm_degree_5']:.6f}\n")
+            print(f"  occlusion: 2D-proj {occ['projection_2d']:.3f}  "
+                  f"ADD {occ['add']:.3f}  "
+                  f"5cm5deg {occ['cm_degree_5']:.3f}")
+        logger.close()
+        events.close()
+        return result
+
     for epoch in range(args.epochs):
         losses = []
         for i in range(args.steps_per_epoch):
@@ -231,6 +416,23 @@ def main(argv=None):
     ap.add_argument('--num-keypoints', type=int, default=9)
     ap.add_argument('--lr', type=float, default=1e-3)
     ap.add_argument('--seed', type=int, default=0)
+    # real-data (data2/ pickle layout) options
+    ap.add_argument('--pkl-dir', default=None,
+                    help='directory of {cls}_{real,train,test,fuse,render}'
+                         '.pkl (data_load3.py:89-121 layout)')
+    ap.add_argument('--image-root', default='',
+                    help='root for rgb_pth/dpt_pth record paths')
+    ap.add_argument('--ply', default=None,
+                    help='object mesh for ADD metrics (else the record '
+                         'sift_3d cloud is used)')
+    ap.add_argument('--no-fuse', dest='use_fuse', action='store_false')
+    ap.add_argument('--no-render', dest='use_render', action='store_false')
+    ap.add_argument('--frame-h', type=int, default=480)
+    ap.add_argument('--frame-w', type=int, default=640)
+    ap.add_argument('--occ-pkl-dir', default=None,
+                    help='pkl dir containing occ/{cls}_real.pkl '
+                         '(OCCLUSION_LINEMOD eval, result_show.py:95-98)')
+    ap.add_argument('--occ-image-root', default=None)
     args = ap.parse_args(argv)
     return train(args)
 

@@ -161,3 +161,163 @@ class LineModModelDB:
 
     def is_symmetric(self, name: str) -> bool:
         return name in SYMMETRIC_CLASSES
+
+
+# ---------------------------------------------------------------------------
+# Real-data record plumbing (the data2/ pickle layout)
+# ---------------------------------------------------------------------------
+# The reference trains LINEMOD from per-class pickles mixing three record
+# sources (data_load3.py:89-121): the real-train subset of {name}_real.pkl
+# (indices recovered from the {name}_train.pkl path list), the first 10000
+# {name}_render.pkl synthetic renders, and the {name}_fuse.pkl multi-object
+# composites.  Test is the real subset selected by {name}_test.pkl.  Each
+# record dict carries rgb_pth / dpt_pth / bbox / sift / sift_3d / K / RT
+# (data_load3.py:258-259).
+
+# Mask-index class order used by the fuse composites (data_load3.py:69-70;
+# a fuse mask stores index+1 of this list, NOT the alphabetical order).
+FUSE_CLS_ORDER = ['ape', 'cam', 'cat', 'duck', 'glue', 'iron', 'phone',
+                  'benchvise', 'can', 'driller', 'eggbox', 'holepuncher',
+                  'lamp']
+
+
+def _load_pkl(path: str):
+    import pickle
+    with open(path, 'rb') as f:
+        return pickle.load(f, encoding='bytes')
+
+
+def split_index(entry) -> int:
+    """A {name}_train/test.pkl entry is a tuple whose first element is an
+    image path; the record index is its numeric stem
+    (data_load3.py:104-112)."""
+    path = entry[0] if isinstance(entry, (tuple, list)) else entry
+    return int(os.path.basename(str(path)).split('.')[0])
+
+
+def load_real_split(pkl_dir: str, name: str, split: str) -> list[dict]:
+    """Real records of one class filtered to the train or test split."""
+    real = _load_pkl(os.path.join(pkl_dir, f'{name}_real.pkl'))
+    sel = _load_pkl(os.path.join(pkl_dir, f'{name}_{split}.pkl'))
+    return [real[split_index(e)] for e in sel]
+
+
+def load_mixed_train_records(pkl_dir: str, name: str, use_fuse: bool = True,
+                             use_render: bool = True,
+                             render_cap: int = 10000) -> list[dict]:
+    """The data_load3 train mixture: real-train [+ render[:cap]] [+ fuse],
+    in the reference's concatenation order (data_load3.py:115-121)."""
+    data = list(load_real_split(pkl_dir, name, 'train'))
+    if use_render:
+        data += _load_pkl(os.path.join(pkl_dir,
+                                       f'{name}_render.pkl'))[:render_cap]
+    if use_fuse:
+        data += _load_pkl(os.path.join(pkl_dir, f'{name}_fuse.pkl'))
+    return data
+
+
+def load_occlusion_records(pkl_dir: str, name: str) -> list[dict]:
+    """OCCLUSION_LINEMOD eval records (data_load3.py:286-289:
+    ``occ/{name}_real.pkl``, consumed by result_show.py:95-98)."""
+    return list(_load_pkl(os.path.join(pkl_dir, 'occ', f'{name}_real.pkl')))
+
+
+def decode_class_mask(mask: np.ndarray, rgb_pth: str,
+                      cls_name: str) -> np.ndarray:
+    """Binary object mask from a stored mask image (data_load3.py:146-154):
+    fuse composites ('f...' paths) store per-class indices into
+    FUSE_CLS_ORDER; real/render masks are any-channel-nonzero."""
+    if os.path.basename(str(rgb_pth)).startswith('f'):
+        return np.asarray(mask == FUSE_CLS_ORDER.index(cls_name) + 1,
+                          np.uint8)
+    if mask.ndim == 3:
+        return np.asarray(mask.sum(2) > 0, np.uint8)
+    return np.asarray(mask > 0, np.uint8)
+
+
+class LinemodBatchLoader:
+    """Host loader for the real LINEMOD layout: RGB + mask PNG decode and
+    fixed-shape stacking in a background thread (the DataLoader(num_workers)
+    role, main2.py); crop/resize/targets happen on device via
+    ops.crop.crop_resize_linemod.
+    """
+
+    def __init__(self, records: list[dict], image_root: str,
+                 cls_name: str, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2,
+                 frame_hw: tuple[int, int] = (480, 640)):
+        self.records = records
+        self.image_root = image_root
+        self.cls_name = cls_name
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.frame_hw = frame_hw
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.records) // self.batch_size
+        if not self.drop_last and len(self.records) % self.batch_size:
+            n += 1
+        return n
+
+    def _assemble(self, batch: list[dict]) -> dict[str, np.ndarray]:
+        from PIL import Image
+        h, w = self.frame_hw
+        n = len(batch)
+        frames = np.zeros((n, h, w, 3), np.float32)
+        masks = np.zeros((n, h, w), np.float32)
+        for i, des in enumerate(batch):
+            img = np.asarray(Image.open(
+                os.path.join(self.image_root, str(des['rgb_pth']))
+            ).convert('RGB'), np.uint8)
+            m = np.asarray(Image.open(
+                os.path.join(self.image_root, str(des['dpt_pth']))))
+            m = decode_class_mask(m, des['rgb_pth'], self.cls_name)
+            frames[i, :img.shape[0], :img.shape[1]] = img
+            masks[i, :m.shape[0], :m.shape[1]] = m
+        out = {
+            'frame': frames,
+            'mask': masks,
+            'bbox': np.stack([np.asarray(d['bbox'], np.float32)
+                              for d in batch]),
+            'keypoints_2d': np.stack(
+                [np.asarray(d['sift'], np.float32).reshape(-1, 2)
+                 for d in batch]),
+            'K': np.stack([np.asarray(d['K'], np.float32) for d in batch]),
+        }
+        if all(d.get('RT') is not None for d in batch):
+            rt = np.stack([np.asarray(d['RT'], np.float32) for d in batch])
+            out['R'] = rt[:, :, :3]
+            out['t'] = rt[:, :, 3]
+        if all('sift_3d' in d for d in batch):
+            out['keypoints_3d'] = np.stack(
+                [np.asarray(d['sift_3d'], np.float32).reshape(-1, 3)
+                 for d in batch])
+        return out
+
+    def __iter__(self):
+        import queue
+        import threading
+        order = np.arange(len(self.records))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            for idxs in batches:
+                q.put(self._assemble([self.records[i] for i in idxs]))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

@@ -21,6 +21,8 @@ are pixel-identical.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax.numpy as jnp
 
 from esa_pose_estimation_tpu.core import linalg
@@ -29,6 +31,69 @@ from esa_pose_estimation_tpu.core import linalg
 def _trunc_int(x: jnp.ndarray) -> jnp.ndarray:
     """Python int() semantics: truncate toward zero."""
     return jnp.trunc(x).astype(jnp.int32)
+
+
+@lru_cache(maxsize=8)
+def _kmul_table(k: float, n: int = 4097, t_cap: int = 1 << 20
+                ) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Exact host-computed f64 behavior of ``c ± k*h`` for integer h.
+
+    Per h: (floor(k*h), thresh) where ``thresh`` is the largest integer t
+    for which the fractional part of k*h still survives the f64
+    subtraction ``t - k*h < t``.  Two f64 facts f32 cannot reproduce:
+    which side of an integer each product lands on (``1.1*90`` =
+    99.000…01 but ``1.05*20`` = 21.0 exactly), and that a near-integer
+    excess is absorbed once |t| is large enough (``500 - 55.000…01`` =
+    445.0 exactly).  Genuine fractional parts (>= 0.01) survive at every
+    relevant magnitude, so their thresh is capped at ``t_cap``.
+    """
+    floors, threshs = [], []
+    for h in range(n):
+        y = k * float(h)
+        m = int(y)
+        floors.append(m)
+        if y == float(m):
+            threshs.append(0)              # exact product: no borrow ever
+        else:
+            f = y - m                      # the exact f64 fractional part
+            lo, hi = 0, t_cap              # invariant: survives at lo+? ...
+            # largest t with (t - f) < t, monotone in t -> binary search
+            while lo < hi:
+                mid = (lo + hi + 1) // 2
+                if (mid - f) < mid:
+                    lo = mid
+                else:
+                    hi = mid - 1
+            threshs.append(lo)
+    return tuple(floors), tuple(threshs)
+
+
+def _expand_box_int(c0: jnp.ndarray, c1: jnp.ndarray, half: jnp.ndarray,
+                    k: float) -> tuple[jnp.ndarray, ...]:
+    """``int(c ± k*half)`` with the reference's Python-float (f64)
+    semantics, as integer arithmetic on a host-precomputed product table
+    (exhaustively verified in tests/test_linemod_real.py).  With
+    y = k*half = m + frac and t the integer part of the result:
+
+      int(c - y) = c - m - 1 if 1 <= (c - m) <= thresh else c - m
+      int(c + y) = c + m + 1 if -thresh <= (c + m) < 0 else c + m
+    """
+    floors, threshs = _kmul_table(float(k))
+    tbl_m = jnp.asarray(floors, jnp.int32)
+    tbl_t = jnp.asarray(threshs, jnp.int32)
+    idx = jnp.clip(half, 0, tbl_m.shape[0] - 1)
+    m = tbl_m[idx]
+    thr = tbl_t[idx]
+
+    def sub(c):
+        t = c - m
+        return t - ((t >= 1) & (t <= thr)).astype(jnp.int32)
+
+    def add(c):
+        t = c + m
+        return t + ((t < 0) & (-t <= thr)).astype(jnp.int32)
+
+    return sub(c0), sub(c1), add(c0), add(c1)
 
 
 def adjust_bbox(bbox: jnp.ndarray, img_w: int = 1920, img_h: int = 1200,
@@ -47,10 +112,7 @@ def adjust_bbox(bbox: jnp.ndarray, img_w: int = 1920, img_h: int = 1200,
     c1 = _trunc_int((y1 + y2) / 2)
     half = _trunc_int(jnp.maximum(x2 - x1, y2 - y1) / 2)
 
-    x_new = _trunc_int(c0 - k * half.astype(jnp.float32))
-    y_new = _trunc_int(c1 - k * half.astype(jnp.float32))
-    w_new = _trunc_int(c0 + k * half.astype(jnp.float32))
-    h_new = _trunc_int(c1 + k * half.astype(jnp.float32))
+    x_new, y_new, w_new, h_new = _expand_box_int(c0, c1, half, k)
     # force square (data_load4.py:120-121)
     h_new = jnp.where(w_new - x_new != h_new - y_new,
                       y_new + (w_new - x_new), h_new)
@@ -149,6 +211,129 @@ def crop_resize(images: jnp.ndarray, bboxes: jnp.ndarray, out_size: int,
     crops = crop_resize_from_boxes(images, origin, crop_sizes, size, out_size)
     rates = out_size / size.astype(jnp.float32)
     return crops, rates, origin
+
+
+def adjust_bbox_linemod(bbox: jnp.ndarray, img_w: int = 640,
+                        img_h: int = 480, k: float = 1.1,
+                        min_size: int = 128
+                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LINEMOD crop-box rule (data_load3.py:155-205, occlusion loader
+    data_load3.py:309-360) — differs from the ESA rule:
+
+    * half-extent floored at ``min_size/2`` BEFORE the margin (so the crop
+      is never smaller than the model's input);
+    * margin ``k = 1.1``;
+    * clamp-shift into the 640x480 frame;
+    * then GROW the clamped window back to ``max(min_size, left, down)``
+      square, shifting inside the frame instead of edge-padding.
+
+    bbox: (..., 4) corners [x1, y1, x2, y2].  Returns (origin (..., 2)
+    int32, crop_sizes (..., 2) int32 [left, down], size (...,) int32 —
+    the stretch target; rate parity is ``min_size / size``).
+    Int arithmetic replicates the reference's ``int()`` truncation.
+    """
+    x1, y1, x2, y2 = bbox[..., 0], bbox[..., 1], bbox[..., 2], bbox[..., 3]
+    c0 = _trunc_int((x1 + x2) / 2)
+    c1 = _trunc_int((y1 + y2) / 2)
+    half = _trunc_int(jnp.maximum(float(min_size),
+                                  jnp.maximum(x2 - x1, y2 - y1)) / 2)
+
+    x_new, y_new, w_new, h_new = _expand_box_int(c0, c1, half, k)
+    h_new = jnp.where(w_new - x_new != h_new - y_new,
+                      y_new + (w_new - x_new), h_new)
+    # clamp-shift into the frame (data_load3.py:170-181)
+    w_new = jnp.where(x_new < 0, w_new - x_new, w_new)
+    x_new = jnp.maximum(x_new, 0)
+    h_new = jnp.where(y_new < 0, h_new - y_new, h_new)
+    y_new = jnp.maximum(y_new, 0)
+    x_new = jnp.where(w_new > img_w, x_new + img_w - w_new, x_new)
+    w_new = jnp.minimum(w_new, img_w)
+    y_new = jnp.where(h_new > img_h, y_new + img_h - h_new, y_new)
+    h_new = jnp.minimum(h_new, img_h)
+
+    # grow back to square inside the frame (data_load3.py:182-205)
+    left = w_new - x_new
+    down = h_new - y_new
+    size = jnp.maximum(min_size, jnp.maximum(left, down))
+
+    dis = size - left
+    grow_right = w_new + dis < img_w
+    w_new = jnp.where((dis > 0) & grow_right, w_new + dis, w_new)
+    x_shift = jnp.where((dis > 0) & ~grow_right, x_new - dis, x_new)
+    w_new = jnp.where((dis > 0) & ~grow_right & (x_shift < 0),
+                      w_new - x_shift, w_new)
+    x_new = jnp.where((dis > 0) & ~grow_right, jnp.maximum(x_shift, 0),
+                      x_new)
+
+    dis = size - down
+    grow_down = h_new + dis < img_h
+    h_new = jnp.where((dis > 0) & grow_down, h_new + dis, h_new)
+    y_shift = jnp.where((dis > 0) & ~grow_down, y_new - dis, y_new)
+    h_new = jnp.where((dis > 0) & ~grow_down & (y_shift < 0),
+                      h_new - y_shift, h_new)
+    y_new = jnp.where((dis > 0) & ~grow_down, jnp.maximum(y_shift, 0),
+                      y_new)
+
+    origin = jnp.stack([x_new, y_new], axis=-1)
+    crop_sizes = jnp.stack([w_new - x_new, h_new - y_new], axis=-1)
+    return origin, crop_sizes, size
+
+
+def crop_resize_stretch(images: jnp.ndarray, origin: jnp.ndarray,
+                        crop_sizes: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """Batched crop+resize that stretches each axis independently to
+    ``out_size`` (cv2.resize semantics on a possibly non-square window —
+    the LINEMOD path, data_load3.py:211-215; the ESA path edge-pads
+    instead, see :func:`crop_resize_from_boxes`)."""
+    squeeze = images.ndim == 3
+    if squeeze:
+        images = images[..., None]
+    b, h, w, c = images.shape
+    grid = (jnp.arange(out_size, dtype=jnp.float32) + 0.5)[None, :]
+    sx = grid * (crop_sizes[:, 0:1].astype(jnp.float32) / out_size) - 0.5 \
+        + origin[:, 0:1].astype(jnp.float32)
+    sy = grid * (crop_sizes[:, 1:2].astype(jnp.float32) / out_size) - 0.5 \
+        + origin[:, 1:2].astype(jnp.float32)
+    lo = origin.astype(jnp.float32)
+    hi = (origin + crop_sizes).astype(jnp.float32) - 1.0
+    sx = jnp.clip(sx, lo[:, 0:1], hi[:, 0:1])
+    sy = jnp.clip(sy, lo[:, 1:2], hi[:, 1:2])
+    Wy = _interp_matrix(sy, h)
+    Wx = _interp_matrix(sx, w)
+    img = images.astype(jnp.float32)
+    rows = linalg.einsum('byh,bhwc->bywc', Wy, img)
+    out = linalg.einsum('bxw,bywc->byxc', Wx, rows)
+    return out[..., 0] if squeeze else out
+
+
+def crop_resize_linemod(images: jnp.ndarray, bboxes: jnp.ndarray,
+                        out_size: int, img_w: int = 640, img_h: int = 480,
+                        k: float = 1.1
+                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """LINEMOD detect->crop->resize (data_load3.py:155-215 semantics).
+
+    Returns (crops, rates = out_size/size, origins).  Keypoint transform
+    parity: ``rate * (kp - origin)`` (data_load3.py:230).
+    """
+    origin, crop_sizes, size = adjust_bbox_linemod(bboxes, img_w, img_h, k,
+                                                   min_size=out_size)
+    crops = crop_resize_stretch(images, origin, crop_sizes, out_size)
+    rates = out_size / size.astype(jnp.float32)
+    return crops, rates, origin
+
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_rgb(crops: jnp.ndarray,
+                  mean: tuple[float, ...] = IMAGENET_MEAN,
+                  std: tuple[float, ...] = IMAGENET_STD) -> jnp.ndarray:
+    """uint8-range RGB crop (B, H, W, 3) -> per-channel normalized float
+    (the LINEMOD transform, data_load3.py:78-88)."""
+    m = jnp.asarray(mean, jnp.float32)
+    s = jnp.asarray(std, jnp.float32)
+    return (crops / 255.0 - m) / s
 
 
 def normalize(crops: jnp.ndarray, mean: float = 0.449, std: float = 0.229

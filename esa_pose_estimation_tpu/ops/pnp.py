@@ -345,10 +345,10 @@ def ransac_epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     z = jnp.where(jnp.abs(pts_cam[..., 2]) < 1e-6, 1e-6, pts_cam[..., 2])
     proj = pts_cam[..., :2] / z[..., None]                        # (...,H,N,2)
     norm_2d = normalize_points_2d(points_2d, K)[..., None, :, :]
-    fx, fy = K[..., 0, 0], K[..., 1, 1]
-    dpix = (proj - norm_2d) * jnp.stack(
-        [jnp.broadcast_to(fx, norm_2d.shape[:-1]),
-         jnp.broadcast_to(fy, norm_2d.shape[:-1])], axis=-1)
+    # (..., 2) focal pair -> (..., 1, 1, 2) so a per-sample batched K
+    # broadcasts across the hypothesis and point axes of proj
+    fxy = jnp.stack([K[..., 0, 0], K[..., 1, 1]], axis=-1)
+    dpix = (proj - norm_2d) * fxy[..., None, None, :]
     errs = jnp.linalg.norm(dpix, axis=-1)                         # (..., H, N)
 
     inl = (errs < reproj_threshold) & v[..., None, :]

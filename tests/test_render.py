@@ -98,3 +98,85 @@ class TestResNet2o:
         target = jnp.zeros((2, 32, 32, 4, 2))
         loss = pvnet_loss(seg, vert, mask, target)
         assert np.isfinite(float(loss))
+
+
+class TestColorRender:
+    """rasterize_color — the OpenGL color-render equivalent
+    (opengl_render_backend.py:165-392 role)."""
+
+    def _simple_K(self, size=32):
+        return jnp.array([[size, 0., size / 2], [0., size, size / 2],
+                          [0., 0., 1.]], jnp.float32)
+
+    def test_barycentric_color_interpolation(self):
+        from esa_pose_estimation_tpu.utils.render import rasterize_color
+        # one triangle facing the camera, distinct vertex colors
+        verts = jnp.array([[-0.4, -0.4, 0.], [0.4, -0.4, 0.],
+                           [0., 0.5, 0.]], jnp.float32)
+        faces = jnp.array([[0, 1, 2]], jnp.int32)
+        colors = jnp.eye(3, dtype=jnp.float32)       # R, G, B corners
+        R = jnp.eye(3, dtype=jnp.float32)
+        t = jnp.array([0., 0., 1.], jnp.float32)
+        rgb, depth, mask = rasterize_color(
+            verts, faces, R, t, self._simple_K(), 32, 32, colors,
+            ambient=1.0)                              # no shading term
+        rgb, mask = np.asarray(rgb), np.asarray(mask)
+        assert mask.any() and not mask.all()
+        # centroid pixel: barycentric blend ~ (1/3, 1/3, 1/3)
+        cy, cx = 15, 16                               # centroid projects near center
+        assert mask[cy, cx]
+        np.testing.assert_allclose(rgb[cy, cx], rgb[cy, cx].mean(),
+                                   atol=0.15)
+        # background black, foreground colors sum to ~1 (ambient=1)
+        assert rgb[~mask].max() == 0.0
+        np.testing.assert_allclose(rgb[mask].sum(-1), 1.0, atol=1e-3)
+
+    def test_zbuffer_front_triangle_wins(self):
+        from esa_pose_estimation_tpu.utils.render import rasterize_color
+        # two overlapping triangles at different depths
+        tri = np.array([[-0.5, -0.5], [0.5, -0.5], [0., 0.6]], np.float32)
+        verts = jnp.asarray(np.vstack([
+            np.hstack([tri, np.full((3, 1), 0.0)]),     # z=1.0 after t
+            np.hstack([tri, np.full((3, 1), -0.3)]),    # z=0.7 (closer)
+        ]), jnp.float32)
+        faces = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
+        colors = jnp.asarray(np.vstack([np.tile([1., 0., 0.], (3, 1)),
+                                        np.tile([0., 1., 0.], (3, 1))]),
+                             jnp.float32)
+        rgb, depth, mask = rasterize_color(
+            verts, faces, jnp.eye(3), jnp.array([0., 0., 1.]),
+            self._simple_K(), 32, 32, colors, ambient=1.0)
+        rgb, depth, mask = (np.asarray(rgb), np.asarray(depth),
+                            np.asarray(mask))
+        inner = mask & np.isclose(depth, 0.7, atol=1e-4)
+        assert inner.any()
+        # everywhere the closer triangle covers, green won
+        np.testing.assert_allclose(
+            rgb[inner], np.tile([[0., 1., 0.]], (int(inner.sum()), 1)),
+            atol=1e-5)
+
+    def test_shading_and_uint8_wrapper(self):
+        from esa_pose_estimation_tpu.utils.render import (
+            rasterize_color,
+            render_color,
+        )
+        verts = jnp.array([[-0.4, -0.4, 0.], [0.4, -0.4, 0.],
+                           [0., 0.5, 0.]], jnp.float32)
+        faces = jnp.array([[0, 1, 2]], jnp.int32)
+        colors = jnp.full((3, 3), 1.0, jnp.float32)
+        R, t = jnp.eye(3), jnp.array([0., 0., 1.])
+        _, _, mask = rasterize_color(verts, faces, R, t, self._simple_K(),
+                                     32, 32, colors)
+        rgb_lo, _, _ = rasterize_color(verts, faces, R, t, self._simple_K(),
+                                       32, 32, colors, ambient=0.2)
+        rgb_hi, _, _ = rasterize_color(verts, faces, R, t, self._simple_K(),
+                                       32, 32, colors, ambient=1.0)
+        m = np.asarray(mask)
+        # frontal triangle: |n.l| = 1 -> shade = ambient+(1-ambient) = 1
+        np.testing.assert_allclose(np.asarray(rgb_lo)[m],
+                                   np.asarray(rgb_hi)[m], atol=1e-5)
+        pose = np.hstack([np.eye(3), [[0.], [0.], [1.]]])
+        img = render_color(verts, faces, pose, self._simple_K(), 32, 32,
+                           colors)
+        assert img.dtype == np.uint8 and img.shape == (32, 32, 3)
+        assert (img[m] > 200).all() and (img[~m] == 0).all()
