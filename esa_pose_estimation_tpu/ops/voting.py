@@ -334,3 +334,175 @@ def estimate_voting_distribution_with_mean(
                                    n_points, inlier_threshold, hyp_chunk)
     cov = distribution_moments_with_mean(hyp, ratio, mean)
     return mean, cov
+
+
+# ---------------------------------------------------------------------------
+# Variants: motion averaging, center voting, vanishing-point voting
+# (reference ransac_voting_gpu.py:408-511, 600-668, 960-981)
+# ---------------------------------------------------------------------------
+
+def motion_voting(mask: jnp.ndarray, vertex: jnp.ndarray) -> jnp.ndarray:
+    """Motion-average keypoint estimate (``ransac_motion_voting``,
+    ransac_voting_gpu.py:960-981): the vertex field holds per-pixel
+    OFFSETS to each keypoint; the estimate is the foreground mean of
+    ``pixel + offset``.  Empty masks return zeros like the reference.
+
+    mask: (B, H, W) in [0, 1]; vertex: (B, H, W, K, 2) -> (B, K, 2).
+    """
+    b, h, w, k, _ = vertex.shape
+    grid = _pixel_grid(h, w, vertex.dtype).reshape(1, h * w, 1, 2)
+    m = mask.reshape(b, h * w).astype(vertex.dtype)
+    pts = vertex.reshape(b, h * w, k, 2) + grid
+    wsum = m.sum(axis=1)[:, None, None]
+    mean = jnp.einsum('bp,bpki->bki', m, pts) / jnp.maximum(wsum, 1.0)
+    return jnp.where(wsum > 0, mean, 0.0)
+
+
+class CenterVotingResult(NamedTuple):
+    center: jnp.ndarray        # (B, 2)
+    inlier_mask: jnp.ndarray   # (B, H, W) weighted votes for the winner
+    inlier_ratio: jnp.ndarray  # (B,)
+
+
+@partial(jax.jit, static_argnames=('n_hypotheses', 'n_points', 'hyp_chunk'))
+def ransac_voting_center(mask: jnp.ndarray, vertex: jnp.ndarray,
+                         key: jax.Array,
+                         inlier_threshold: float = 0.99,
+                         n_hypotheses: int = 128,
+                         n_points: int = 2048,
+                         hyp_chunk: int = 32) -> CenterVotingResult:
+    """Object-center voting (``ransac_voting_center``,
+    ransac_voting_gpu.py:600-668): single-channel RANSAC voting on a
+    center-direction field, returning the winning center plus the
+    full-resolution map of pixels that voted for it (the reference's
+    instance-mask ingredient; looser 0.99 cosine threshold default).
+
+    mask: (B, H, W); vertex: (B, H, W, 2) unit directions to the center.
+    """
+    res = ransac_voting(mask, vertex[:, :, :, None, :], key,
+                        inlier_threshold=inlier_threshold,
+                        n_hypotheses=n_hypotheses, n_points=n_points,
+                        hyp_chunk=hyp_chunk)
+    center = res.keypoints[:, 0]                              # (B, 2)
+    b, h, w = mask.shape
+    grid = _pixel_grid(h, w, vertex.dtype).reshape(1, h, w, 2)
+    diff = center[:, None, None, :] - grid                    # (B, H, W, 2)
+    dn = jnp.linalg.norm(diff, axis=-1) + _EPS
+    cos = jnp.einsum('bhwi,bhwi->bhw', diff, vertex) / dn
+    votes = (cos > inlier_threshold).astype(mask.dtype) * mask
+    ratio = votes.sum(axis=(1, 2)) / (mask.sum(axis=(1, 2)) + _EPS)
+    return CenterVotingResult(center=center, inlier_mask=votes,
+                              inlier_ratio=ratio)
+
+
+def _vanishing_hypotheses(coords, dirs, wt, key, n_hyp):
+    """Random pixel pairs -> homogeneous vanishing-point hypotheses
+    (generate_hypothesis_vanishing_point_kernel,
+    ransac_voting_kernel.cu:170-229): cross product of the two pixel
+    lines, sign-fixed so both rays point toward it; pairs whose rays
+    disagree produce the zero hypothesis (never votes)."""
+    b, n, k, _ = dirs.shape
+    idx = _sample_pairs(key, b, n, n_hyp, wt)                 # (B, Hyp, 2)
+    pix = jnp.take_along_axis(coords, idx.reshape(b, n_hyp * 2, 1),
+                              axis=1).reshape(b, n_hyp, 2, 1, 2)
+    dd = jnp.take_along_axis(dirs, idx.reshape(b, n_hyp * 2, 1, 1),
+                             axis=1).reshape(b, n_hyp, 2, k, 2)
+    c0, c1 = pix[:, :, 0], pix[:, :, 1]                       # (B, Hyp, 1, 2)
+    d0, d1 = dd[:, :, 0], dd[:, :, 1]                         # (B, Hyp, K, 2)
+    # line through (c, d): l = (d_y, -d_x, c_y d_x - c_x d_y)
+    l0 = jnp.stack([d0[..., 1], -d0[..., 0],
+                    c0[..., 1] * d0[..., 0] - c0[..., 0] * d0[..., 1]], -1)
+    l1 = jnp.stack([d1[..., 1], -d1[..., 0],
+                    c1[..., 1] * d1[..., 0] - c1[..., 0] * d1[..., 1]], -1)
+    vp = jnp.cross(l0, l1)                                    # (B, Hyp, K, 3)
+    x, y, z = vp[..., 0], vp[..., 1], vp[..., 2]
+    vx0 = d0[..., 0] * (x - z * c0[..., 0])
+    vx1 = d1[..., 0] * (x - z * c1[..., 0])
+    vy0 = d0[..., 1] * (y - z * c0[..., 1])
+    vy1 = d1[..., 1] * (y - z * c1[..., 1])
+    flip = (vx0 < 0) & (vx1 < 0) & (vy0 < 0) & (vy1 < 0)
+    vp = jnp.where(flip[..., None], -vp, vp)
+    bad = (vx0 * vx1 < 0) | (vy0 * vy1 < 0)
+    return jnp.where(bad[..., None], 0.0, vp)
+
+
+def _vanishing_votes(vp, coords, dirs, wt, thresh):
+    """Weighted votes for homogeneous candidates
+    (voting_for_hypothesis_vanishing_point_kernel,
+    ransac_voting_kernel.cu:270-313): |cos| above thresh AND componentwise
+    direction agreement.  vp (B, ..., K, 3) broadcast against points
+    (B, N) -> votes (B, ..., N, K)."""
+    diff = (vp[..., None, :, :2]
+            - coords[:, None, :, None, :] * vp[..., None, :, 2:])
+    dn = jnp.linalg.norm(diff, axis=-1) + _EPS
+    cos = jnp.einsum('b...nki,bnki->b...nk', diff, dirs) / dn
+    agree = ((diff[..., 0] * dirs[:, None, :, :, 0] >= 0)
+             & (diff[..., 1] * dirs[:, None, :, :, 1] >= 0))
+    return ((jnp.abs(cos) > thresh) & agree).astype(wt.dtype) \
+        * wt[:, None, :, None]
+
+
+@partial(jax.jit, static_argnames=('n_hypotheses', 'n_points', 'hyp_chunk',
+                                   'refine_iters'))
+def vanishing_point_voting(mask: jnp.ndarray, vertex: jnp.ndarray,
+                           key: jax.Array,
+                           inlier_threshold: float = 0.999,
+                           n_hypotheses: int = 128,
+                           n_points: int = 1024,
+                           hyp_chunk: int = 32,
+                           refine_iters: int = 1) -> jnp.ndarray:
+    """Vanishing-point RANSAC voting (``ransac_voting_vanish_point_layer``,
+    ransac_voting_gpu.py:408-500): keypoints live in homogeneous
+    coordinates so points at infinity (parallel direction fields) are
+    first-class.  Hypotheses are cross products of pixel lines; votes use
+    |cos| with componentwise direction agreement; the winner is refined by
+    the null vector of the weighted inlier line system
+    H = [-n | n.c] (the reference's per-keypoint SVD, batched here as a
+    3x3 smallest-eigenvector solve).
+
+    mask: (B, H, W); vertex: (B, H, W, K, 2) -> (B, K, 3) unit-norm
+    homogeneous winners.
+    """
+    from esa_pose_estimation_tpu.ops.epnp import smallest_eigvecs
+
+    kg, kh = jax.random.split(key)
+    coords, dirs, wt = _gather_foreground(mask, vertex, kg, n_points)
+    b, n, k, _ = dirs.shape
+
+    vp = _vanishing_hypotheses(coords, dirs, wt, kh, n_hypotheses)
+    # chunked voting (the (Hyp, N) tensor never fully materializes)
+    n_pad = -(-n_hypotheses // hyp_chunk) * hyp_chunk
+    vpp = jnp.pad(vp, ((0, 0), (0, n_pad - n_hypotheses), (0, 0), (0, 0)))
+    vpp = jnp.moveaxis(vpp.reshape(b, n_pad // hyp_chunk, hyp_chunk, k, 3),
+                       1, 0)
+
+    def body(_, chunk_vp):
+        v = _vanishing_votes(chunk_vp, coords, dirs, wt, inlier_threshold)
+        return None, v.sum(axis=-2)                           # (B, C, K)
+
+    _, counts = jax.lax.scan(body, None, vpp)
+    counts = jnp.moveaxis(counts, 0, 1).reshape(b, n_pad, k)[:, :n_hypotheses]
+
+    best = jnp.argmax(counts, axis=1)                         # (B, K)
+    win = jnp.take_along_axis(vp, best[:, None, :, None], axis=1)[:, 0]
+    win = win / (jnp.linalg.norm(win, axis=-1, keepdims=True) + _EPS)
+
+    # refinement: null vector of the weighted inlier constraint system
+    # (ransac_voting_gpu.py:470-489), sign-aligned with the winner
+    normal = jnp.stack([dirs[..., 1], -dirs[..., 0]], axis=-1)  # (B,N,K,2)
+    hrow = jnp.concatenate(
+        [-normal, jnp.sum(normal * coords[:, :, None, :], -1,
+                          keepdims=True)], axis=-1)             # (B,N,K,3)
+    for _ in range(refine_iters):
+        votes = _vanishing_votes(win[:, None], coords, dirs, wt,
+                                 inlier_threshold)[:, 0]        # (B, N, K)
+        M = jnp.einsum('bnk,bnki,bnkj->bkij', votes, hrow, hrow)
+        refined = smallest_eigvecs(M, k=1)[..., 0]              # (B, K, 3)
+        refined = refined / (jnp.linalg.norm(refined, axis=-1,
+                                             keepdims=True) + _EPS)
+        # orient toward the current winner; keep winner if degenerate
+        sgn = jnp.sign(jnp.sum(refined * win, axis=-1, keepdims=True))
+        refined = jnp.where(sgn == 0, win, refined * sgn)
+        ok = votes.sum(axis=1) > 0
+        win = jnp.where(ok[..., None], refined, win)
+    return win

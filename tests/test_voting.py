@@ -252,3 +252,66 @@ class TestUncertaintyPnP:
                                              eps=0.0))
         expected = np.linalg.inv(sqrtm(cov))
         np.testing.assert_allclose(W, expected, rtol=1e-3, atol=1e-4)
+
+
+class TestVotingVariants:
+    """Motion / center / vanishing-point variants
+    (ransac_voting_gpu.py:408-511, 600-668, 960-981)."""
+
+    def _field_to(self, targets, h, w, unit=True):
+        """(K, 2) targets -> mask (1,H,W) + direction field (1,H,W,K,2)."""
+        ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing='ij')
+        grid = np.stack([xs, ys], -1)                       # (H, W, 2)
+        d = targets[None, None] - grid[:, :, None]          # (H, W, K, 2)
+        if unit:
+            d = d / (np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+        mask = np.ones((1, h, w), np.float32)
+        return jnp.asarray(mask), jnp.asarray(d[None])
+
+    def test_motion_voting_exact_and_empty(self):
+        from esa_pose_estimation_tpu.ops.voting import motion_voting
+        targets = np.array([[5.5, 9.25], [12.0, 3.0]], np.float32)
+        mask, offsets = self._field_to(targets, 16, 16, unit=False)
+        got = motion_voting(mask, offsets)
+        np.testing.assert_allclose(np.asarray(got)[0], targets, atol=1e-4)
+        empty = motion_voting(jnp.zeros_like(mask), offsets)
+        np.testing.assert_allclose(np.asarray(empty), 0.0)
+
+    def test_center_voting_recovers_center(self):
+        from esa_pose_estimation_tpu.ops.voting import ransac_voting_center
+        center = np.array([[11.0, 6.0]], np.float32)
+        mask, d = self._field_to(center, 20, 20)
+        res = ransac_voting_center(mask, d[:, :, :, 0], jax.random.PRNGKey(0),
+                                   n_points=256)
+        np.testing.assert_allclose(np.asarray(res.center)[0], center[0],
+                                   atol=0.5)
+        # nearly every foreground pixel voted for the true center
+        assert float(res.inlier_ratio[0]) > 0.9
+        assert res.inlier_mask.shape == (1, 20, 20)
+
+    def test_vanishing_point_finite(self):
+        from esa_pose_estimation_tpu.ops.voting import vanishing_point_voting
+        targets = np.array([[9.0, 13.0]], np.float32)
+        mask, d = self._field_to(targets, 24, 24)
+        win = np.asarray(vanishing_point_voting(mask, d,
+                                                jax.random.PRNGKey(1),
+                                                n_points=256))[0, 0]
+        # dehomogenize: finite point recovered
+        assert abs(win[2]) > 1e-3
+        np.testing.assert_allclose(win[:2] / win[2], targets[0], atol=0.5)
+
+    def test_vanishing_point_at_infinity(self):
+        from esa_pose_estimation_tpu.ops.voting import vanishing_point_voting
+        # perfectly parallel field: the vanishing point is at infinity
+        h = w = 24
+        direction = np.array([0.6, 0.8], np.float32)
+        d = np.tile(direction, (1, h, w, 1, 1))
+        mask = jnp.ones((1, h, w), jnp.float32)
+        win = np.asarray(vanishing_point_voting(
+            jnp.asarray(mask), jnp.asarray(d), jax.random.PRNGKey(2),
+            n_points=256))[0, 0]
+        # homogeneous w-component ~ 0, xy parallel to the field direction
+        assert abs(win[2]) < 0.05
+        xy = win[:2] / np.linalg.norm(win[:2])
+        assert abs(float(np.dot(xy, direction))) > 0.999
