@@ -67,9 +67,11 @@ def _lib() -> ctypes.CDLL:
 class NativeBatchLoader:
     """Iterate batches from an SPD1 shard via the C++ runtime.
 
-    Yields dicts {'frame' (B,H,W) f32, 'bbox' (B,4), 'keypoints_2d'
+    Yields dicts {'frame' (B,H,W) uint8, 'bbox' (B,4), 'keypoints_2d'
     (B,K,2), 'quat' (B,4), 'trans' (B,3), 'name' [str]*B} — drop-in for
-    data/speed.BatchLoader.
+    data/speed.BatchLoader.  Frames stay uint8 on the host so the H2D
+    transfer ships 1 byte/px (4x less bus/tunnel traffic); every device
+    consumer (ops.crop resampling) casts to f32 on-chip.
     """
 
     def __init__(self, shard_path: str, batch_size: int,
@@ -121,7 +123,7 @@ class NativeBatchLoader:
                 names.raw[i * NAME_LEN:(i + 1) * NAME_LEN].split(b'\0')[0]
                 .decode() for i in range(count)]
             yield {
-                'frame': frames[:count].astype(np.float32),
+                'frame': frames[:count],
                 'bbox': bbox[:count],
                 'keypoints_2d': kp2d[:count],
                 'quat': quat[:count],

@@ -108,8 +108,13 @@ class ChannelAttention(nn.Module):
         mx = jnp.max(x, axis=(1, 2), keepdims=True)
         fc1 = nn.Conv(hidden, (1, 1), use_bias=False, dtype=self.dtype)
         fc2 = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype)
-        gate = fc2(nn.relu(fc1(avg))) + fc2(nn.relu(fc1(mx)))
-        return nn.sigmoid(gate)
+        # one MLP pass over both pooled vectors (stacked on the batch
+        # axis) instead of two: identical math (1x1 conv is per-sample
+        # linear), half the tiny-kernel dispatches on TPU
+        both = jnp.concatenate([avg, mx], axis=0)
+        y = fc2(nn.relu(fc1(both)))
+        b = x.shape[0]
+        return nn.sigmoid(y[:b] + y[b:])
 
 
 class SpatialAttention(nn.Module):

@@ -19,7 +19,9 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 shard_loader.cpp -lpng -lz -lpthread
 
+#include <fcntl.h>
 #include <png.h>
+#include <unistd.h>
 
 #include <algorithm>
 #include <atomic>
@@ -27,6 +29,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
 #include <mutex>
 #include <queue>
 #include <random>
@@ -134,12 +137,27 @@ struct Batch {
   int count = 0;
 };
 
+// Read exactly n bytes at offset via positional reads (thread-safe on one
+// fd, no seek state, no mutex — lets every decode worker read its own
+// records in parallel).
+bool pread_full(int fd, void* dst, size_t n, uint64_t off) {
+  uint8_t* p = static_cast<uint8_t*>(dst);
+  while (n > 0) {
+    ssize_t got = ::pread(fd, p, n, static_cast<off_t>(off));
+    if (got <= 0) return false;
+    p += got;
+    off += static_cast<uint64_t>(got);
+    n -= static_cast<size_t>(got);
+  }
+  return true;
+}
+
 class Loader {
  public:
-  Loader(FILE* f, ShardHeader hdr, std::vector<RecordIndex> index,
+  Loader(int fd, ShardHeader hdr, std::vector<RecordIndex> index,
          int batch_size, int n_threads, bool shuffle, uint64_t seed,
          bool drop_last)
-      : file_(f),
+      : fd_(fd),
         hdr_(hdr),
         index_(std::move(index)),
         batch_size_(batch_size),
@@ -149,7 +167,7 @@ class Loader {
     reset(seed);
   }
 
-  ~Loader() { stop(); std::fclose(file_); }
+  ~Loader() { stop(); ::close(fd_); }
 
   const ShardHeader& header() const { return hdr_; }
   int batch_size() const { return batch_size_; }
@@ -174,20 +192,26 @@ class Loader {
     std::unique_lock<std::mutex> lk(mu_);
     cv_ready_.wait(lk, [this] { return !ready_.empty() || epoch_done_; });
     if (ready_.empty()) return 0;
-    Batch b = std::move(ready_.front());
+    std::unique_ptr<Batch> b = std::move(ready_.front());
     ready_.pop();
     lk.unlock();
     cv_space_.notify_one();
 
     size_t frame_bytes = static_cast<size_t>(hdr_.height) * hdr_.width;
-    std::memcpy(frames, b.frames.data(), b.count * frame_bytes);
-    std::memcpy(bbox, b.bbox.data(), b.count * 4 * sizeof(float));
-    std::memcpy(kp2d, b.kp2d.data(),
-                b.count * hdr_.n_kp * 2 * sizeof(float));
-    std::memcpy(quat, b.quat.data(), b.count * 4 * sizeof(float));
-    std::memcpy(trans, b.trans.data(), b.count * 3 * sizeof(float));
-    std::memcpy(names, b.names.data(), b.count * kNameLen);
-    return b.count;
+    int count = b->count;
+    std::memcpy(frames, b->frames.data(), count * frame_bytes);
+    std::memcpy(bbox, b->bbox.data(), count * 4 * sizeof(float));
+    std::memcpy(kp2d, b->kp2d.data(),
+                count * hdr_.n_kp * 2 * sizeof(float));
+    std::memcpy(quat, b->quat.data(), count * 4 * sizeof(float));
+    std::memcpy(trans, b->trans.data(), count * 3 * sizeof(float));
+    std::memcpy(names, b->names.data(), count * kNameLen);
+    {
+      // recycle the buffers for the producer
+      std::lock_guard<std::mutex> lk2(mu_);
+      if (free_.size() < 4) free_.push_back(std::move(b));
+    }
+    return count;
   }
 
  private:
@@ -199,65 +223,86 @@ class Loader {
     cv_space_.notify_all();
     cv_ready_.notify_all();
     if (producer_.joinable()) producer_.join();
-    std::queue<Batch>().swap(ready_);
+    std::queue<std::unique_ptr<Batch>>().swap(ready_);
+    std::vector<std::unique_ptr<Batch>>().swap(free_);
+  }
+
+  // Grab a recycled batch buffer or allocate one (capacity persists across
+  // the epoch, so the big frame buffer is touched once, not re-zeroed per
+  // batch — the old per-batch vector churn measured ~6x slower than disk).
+  std::unique_ptr<Batch> acquire_batch(size_t count, size_t frame_bytes) {
+    std::unique_ptr<Batch> b;
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      if (!free_.empty()) {
+        b = std::move(free_.back());
+        free_.pop_back();
+      }
+    }
+    if (!b) b = std::make_unique<Batch>();
+    b->count = static_cast<int>(count);
+    b->frames.resize(count * frame_bytes);
+    b->bbox.resize(count * 4);
+    b->kp2d.resize(count * hdr_.n_kp * 2);
+    b->quat.resize(count * 4);
+    b->trans.resize(count * 3);
+    b->names.resize(count * kNameLen);
+    return b;
   }
 
   void produce() {
     size_t n = order_.size();
     size_t frame_bytes = static_cast<size_t>(hdr_.height) * hdr_.width;
+    size_t kp_bytes = static_cast<size_t>(hdr_.n_kp) * 2 * sizeof(float);
     for (size_t start = 0; start < n; start += batch_size_) {
       size_t count = std::min<size_t>(batch_size_, n - start);
       if (drop_last_ && count < static_cast<size_t>(batch_size_)) break;
 
-      Batch b;
-      b.count = static_cast<int>(count);
-      b.frames.resize(count * frame_bytes);
-      b.bbox.resize(count * 4);
-      b.kp2d.resize(count * hdr_.n_kp * 2);
-      b.quat.resize(count * 4);
-      b.trans.resize(count * 3);
-      b.names.resize(count * kNameLen);
+      std::unique_ptr<Batch> b = acquire_batch(count, frame_bytes);
 
-      // Read payloads sequentially (single reader on the file), decode in
-      // parallel.
-      std::vector<std::vector<uint8_t>> payloads(count);
-      std::vector<RecordHeader> headers(count);
-      {
-        std::lock_guard<std::mutex> lk(file_mu_);
-        for (size_t i = 0; i < count; ++i) {
-          const RecordIndex& ri = index_[order_[start + i]];
-          std::fseek(file_, static_cast<long>(ri.offset), SEEK_SET);
-          if (std::fread(&headers[i], sizeof(RecordHeader), 1, file_) != 1)
-            return;
-          payloads[i].resize(headers[i].payload_size);
-          if (std::fread(payloads[i].data(), 1, headers[i].payload_size,
-                         file_) != headers[i].payload_size)
-            return;
-          // keypoints 2d live right after the fixed header in the payload
-          // region? No: kp2d is part of the payload prefix (see writer).
-        }
-      }
-
+      // Every worker preads + decodes its own records: positional reads
+      // need no file mutex, and the raw-uint8 path lands pixels straight
+      // in the batch frame buffer (zero intermediate copies).
       std::atomic<size_t> cursor{0};
+      std::atomic<bool> io_error{false};
       auto work = [&] {
+        std::vector<uint8_t> scratch;  // PNG payloads only
         size_t i;
         while ((i = cursor.fetch_add(1)) < count) {
-          const RecordHeader& rh = headers[i];
-          std::memcpy(b.names.data() + i * kNameLen, rh.name, kNameLen);
-          std::memcpy(b.bbox.data() + i * 4, rh.bbox, 4 * sizeof(float));
-          std::memcpy(b.quat.data() + i * 4, rh.quat, 4 * sizeof(float));
-          std::memcpy(b.trans.data() + i * 3, rh.trans, 3 * sizeof(float));
+          const RecordIndex& ri = index_[order_[start + i]];
+          RecordHeader rh;
+          if (!pread_full(fd_, &rh, sizeof(rh), ri.offset)) {
+            io_error.store(true);
+            return;
+          }
+          std::memcpy(b->names.data() + i * kNameLen, rh.name, kNameLen);
+          std::memcpy(b->bbox.data() + i * 4, rh.bbox, 4 * sizeof(float));
+          std::memcpy(b->quat.data() + i * 4, rh.quat, 4 * sizeof(float));
+          std::memcpy(b->trans.data() + i * 3, rh.trans, 3 * sizeof(float));
           // payload = [kp2d f32 * n_kp*2][pixel data]
-          size_t kp_bytes = static_cast<size_t>(hdr_.n_kp) * 2 * sizeof(float);
-          std::memcpy(b.kp2d.data() + i * hdr_.n_kp * 2, payloads[i].data(),
-                      kp_bytes);
-          const uint8_t* px = payloads[i].data() + kp_bytes;
-          size_t px_size = payloads[i].size() - kp_bytes;
-          uint8_t* dst = b.frames.data() + i * frame_bytes;
+          uint64_t payload_off = ri.offset + sizeof(RecordHeader);
+          if (!pread_full(fd_, b->kp2d.data() + i * hdr_.n_kp * 2, kp_bytes,
+                          payload_off)) {
+            io_error.store(true);
+            return;
+          }
+          size_t px_size = rh.payload_size - kp_bytes;
+          uint8_t* dst = b->frames.data() + i * frame_bytes;
           if (hdr_.compressed) {
-            decode_png_gray(px, px_size, dst, hdr_.height, hdr_.width);
+            scratch.resize(px_size);
+            if (!pread_full(fd_, scratch.data(), px_size,
+                            payload_off + kp_bytes)) {
+              io_error.store(true);
+              return;
+            }
+            decode_png_gray(scratch.data(), px_size, dst, hdr_.height,
+                            hdr_.width);
           } else {
-            std::memcpy(dst, px, std::min(px_size, frame_bytes));
+            if (!pread_full(fd_, dst, std::min(px_size, frame_bytes),
+                            payload_off + kp_bytes)) {
+              io_error.store(true);
+              return;
+            }
           }
         }
       };
@@ -265,6 +310,7 @@ class Loader {
       for (int t = 0; t < n_threads_ - 1; ++t) pool.emplace_back(work);
       work();
       for (auto& t : pool) t.join();
+      if (io_error.load()) break;
 
       std::unique_lock<std::mutex> lk(mu_);
       cv_space_.wait(lk, [this] { return ready_.size() < 3 || stopping_; });
@@ -280,7 +326,7 @@ class Loader {
     cv_ready_.notify_all();
   }
 
-  FILE* file_;
+  int fd_;
   ShardHeader hdr_;
   std::vector<RecordIndex> index_;
   std::vector<size_t> order_;
@@ -289,9 +335,10 @@ class Loader {
   bool shuffle_;
   bool drop_last_;
 
-  std::mutex mu_, file_mu_;
+  std::mutex mu_;
   std::condition_variable cv_ready_, cv_space_;
-  std::queue<Batch> ready_;
+  std::queue<std::unique_ptr<Batch>> ready_;
+  std::vector<std::unique_ptr<Batch>> free_;
   std::thread producer_;
   bool epoch_done_ = false;
   bool stopping_ = false;
@@ -304,27 +351,26 @@ extern "C" {
 
 void* loader_open(const char* path, int batch_size, int n_threads,
                   int shuffle, uint64_t seed, int drop_last) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) return nullptr;
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
   ShardHeader hdr;
-  if (std::fread(&hdr, sizeof(hdr), 1, f) != 1 || hdr.magic != kMagic) {
-    std::fclose(f);
+  if (!pread_full(fd, &hdr, sizeof(hdr), 0) || hdr.magic != kMagic) {
+    ::close(fd);
     return nullptr;
   }
   std::vector<RecordIndex> index;
   index.reserve(hdr.n_records);
   uint64_t off = sizeof(ShardHeader);
   for (uint32_t i = 0; i < hdr.n_records; ++i) {
-    std::fseek(f, static_cast<long>(off), SEEK_SET);
     RecordHeader rh;
-    if (std::fread(&rh, sizeof(rh), 1, f) != 1) {
-      std::fclose(f);
+    if (!pread_full(fd, &rh, sizeof(rh), off)) {
+      ::close(fd);
       return nullptr;
     }
     index.push_back({off, rh.payload_size});
     off += sizeof(RecordHeader) + rh.payload_size;
   }
-  return new Loader(f, hdr, std::move(index), batch_size, n_threads,
+  return new Loader(fd, hdr, std::move(index), batch_size, n_threads,
                     shuffle != 0, seed, drop_last != 0);
 }
 
