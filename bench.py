@@ -58,8 +58,7 @@ def build_pipeline():
         jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 1)), train=False)
     K = jnp.asarray(camera.SPEED_K, jnp.float32)
 
-    def pipeline(variables, frames, bboxes, points_3d, key):
-        crops, rates, origins = crop_ops.crop_resize(frames, bboxes, 128)
+    def tail(variables, crops, rates, origins, points_3d, key):
         x = crop_ops.normalize(crops)[..., None]
         hm = model.apply(variables, x, train=False)          # (B,128,128,30)
         hm = jnp.transpose(hm, (0, 3, 1, 2))                 # (B,30,128,128)
@@ -67,14 +66,18 @@ def build_pipeline():
         sel = peak_ops.select_confident(maxvals, 0.6, min_count=24)
         uncropped = coords / rates[:, None, None] + \
             origins[:, None, :].astype(jnp.float32)
-        p3 = jnp.broadcast_to(points_3d, (frames.shape[0],) + points_3d.shape)
+        p3 = jnp.broadcast_to(points_3d, (crops.shape[0],) + points_3d.shape)
         init = pnp_mod.ransac_epnp(p3, uncropped, K, key, valid=sel,
                                    n_hypotheses=32, lm_iters=8)
         w = jnp.where(sel, maxvals, 0.0)
         R, t = pnp_mod.lm_refine(p3, uncropped, w, K, init.R, init.t, iters=10)
         return R, t
 
-    return variables, jax.jit(pipeline)
+    def pipeline(variables, frames, bboxes, points_3d, key):
+        crops, rates, origins = crop_ops.crop_resize(frames, bboxes, 128)
+        return tail(variables, crops, rates, origins, points_3d, key)
+
+    return variables, jax.jit(pipeline), jax.jit(tail)
 
 
 def _compiled_flops(jitted, *args) -> float | None:
@@ -101,7 +104,7 @@ def _staged_inputs(batch: int):
 
 def bench_compute() -> dict:
     pts, frames, bboxes = _staged_inputs(BATCH)
-    variables, pipeline = build_pipeline()
+    variables, pipeline, _ = build_pipeline()
 
     # Pre-materialize per-iteration PRNG keys: generating keys inside the
     # timing loop adds a host->device dispatch round-trip per step (measured
@@ -135,13 +138,19 @@ def bench_compute() -> dict:
 
 
 def bench_system(shard_path: str | None, n_records: int = 1024,
-                 threads: int = 8) -> dict:
+                 threads: int = 8, host_crop: bool = False) -> dict:
     """Full-system throughput: C++ shard decode -> H2D -> device pipeline.
 
     Unlike the compute mode, every image is read from disk through the
     native loader and transferred to the device inside the timed region —
     this is the number a deployment actually sees, and it honestly exposes
     an input-bound system (VERDICT round-1 weak #3).
+
+    ``host_crop`` moves the crop+resize stage onto the loader's C++ worker
+    threads (the reference's own architecture, data_load4.py:110-166) so
+    the H2D leg ships 65 KB crops instead of 2.3 MB frames — the right
+    configuration whenever the host->device link, not the chip, limits
+    throughput (notably this 1-CPU dev host with a tunneled TPU).
     """
     from esa_pose_estimation_tpu.data import shards
     from esa_pose_estimation_tpu.data.native_loader import NativeBatchLoader
@@ -154,11 +163,22 @@ def bench_system(shard_path: str | None, n_records: int = 1024,
         shards.write_synthetic_shard(shard_path, n_records)
 
     pts, _, _ = _staged_inputs(2)
-    variables, pipeline = build_pipeline()
+    variables, pipeline, tail = build_pipeline()
     loader = NativeBatchLoader(shard_path, BATCH, n_threads=threads,
-                               shuffle=False)
+                               shuffle=False,
+                               crop_size=128 if host_crop else None)
     n_batches = len(loader)
     key_list = list(jax.random.split(jax.random.PRNGKey(0), n_batches + 1))
+
+    def step(b, key):
+        if host_crop:
+            R, t = tail(variables, jnp.asarray(b['crop']),
+                        jnp.asarray(b['rate']), jnp.asarray(b['origin']),
+                        pts, key)
+        else:
+            R, t = pipeline(variables, jnp.asarray(b['frame']),
+                            jnp.asarray(b['bbox']), pts, key)
+        return R
 
     # Epoch 0 (untimed): compiles the pipeline AND pulls the shard through
     # the page cache.  Steady-state training re-reads the same shard every
@@ -166,19 +186,15 @@ def bench_system(shard_path: str | None, n_records: int = 1024,
     # first pass just measures this host's virtio disk (~125 MB/s).
     cold_start = time.perf_counter()
     for b in loader:
-        frames = jnp.asarray(b['frame'])
-        R, _ = pipeline(variables, frames, jnp.asarray(b['bbox']), pts,
-                        key_list[-1])
+        R = step(b, key_list[-1])
     R.block_until_ready()
     cold_s = time.perf_counter() - cold_start
 
     count = 0
     start = time.perf_counter()
     for i, b in enumerate(loader):
-        frames = jnp.asarray(b['frame'])          # H2D inside timed region
-        bboxes = jnp.asarray(b['bbox'])
-        R, t = pipeline(variables, frames, bboxes, pts, key_list[i])
-        count += frames.shape[0]
+        R = step(b, key_list[i])                  # H2D inside timed region
+        count += BATCH
         # no block inside the loop: the C++ producer prefetches the next
         # batch while the device runs this one
     R.block_until_ready()
@@ -188,8 +204,9 @@ def bench_system(shard_path: str | None, n_records: int = 1024,
     img_per_s = count / elapsed
     print(f'# cold first epoch (disk-bound): '
           f'{n_batches * BATCH / cold_s:.1f} img/s', flush=True)
+    stage = 'decode+crop' if host_crop else 'decode'
     return {
-        'metric': 'system images/sec/chip (C++ shard decode+H2D+pipeline)',
+        'metric': f'system images/sec/chip (C++ shard {stage}+H2D+pipeline)',
         'value': round(img_per_s, 2),
         'unit': 'img/s',
         'vs_baseline': round(img_per_s / BASELINE_IMG_PER_S, 2),
@@ -203,7 +220,7 @@ def bench_two_stage(detector_ckpt: str | None) -> dict:
     from esa_pose_estimation_tpu.pipeline import detect_frames
 
     pts, frames, _ = _staged_inputs(BATCH)
-    variables, pipeline = build_pipeline()
+    variables, pipeline, _ = build_pipeline()
 
     # f32 detector: measured faster than bf16 at these shapes (the conv
     # channels are narrow; bf16 adds convert traffic without MXU benefit)
@@ -298,12 +315,16 @@ def main(argv=None):
     ap.add_argument('--detector-ckpt', default=None)
     ap.add_argument('--batch', type=int, default=None,
                     help='override the pipeline batch size (default 256)')
+    ap.add_argument('--host-crop', action='store_true',
+                    help='system mode: crop+resize on the C++ loader '
+                         'threads (65 KB/img H2D instead of 2.3 MB)')
     args = ap.parse_args(argv)
     if args.batch:
         global BATCH
         BATCH = args.batch
     if args.mode == 'system':
-        out = bench_system(args.shard, args.shard_records)
+        out = bench_system(args.shard, args.shard_records,
+                           host_crop=args.host_crop)
     elif args.mode == 'voting':
         out = bench_voting()
     elif args.mode == 'two-stage':

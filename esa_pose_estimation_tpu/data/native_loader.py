@@ -43,12 +43,17 @@ def _load_lib() -> ctypes.CDLL:
     lib.loader_open.restype = ctypes.c_void_p
     lib.loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_uint64, ctypes.c_int]
+    lib.loader_open2.restype = ctypes.c_void_p
+    lib.loader_open2.argtypes = lib.loader_open.argtypes + [ctypes.c_int]
     lib.loader_meta.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_uint32)]
     lib.loader_next.restype = ctypes.c_int
     lib.loader_next.argtypes = [ctypes.c_void_p] + \
         [ctypes.POINTER(ctypes.c_uint8)] + \
         [ctypes.POINTER(ctypes.c_float)] * 4 + [ctypes.c_char_p]
+    lib.loader_next_cropped.restype = ctypes.c_int
+    lib.loader_next_cropped.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_float)] * 7 + [ctypes.c_char_p]
     lib.loader_reset.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.loader_close.argtypes = [ctypes.c_void_p]
     return lib
@@ -72,16 +77,23 @@ class NativeBatchLoader:
     data/speed.BatchLoader.  Frames stay uint8 on the host so the H2D
     transfer ships 1 byte/px (4x less bus/tunnel traffic); every device
     consumer (ops.crop resampling) casts to f32 on-chip.
+
+    With ``crop_size`` set, the C++ workers run the ESA detector-box ->
+    square crop -> bilinear resize stage on the host (reference
+    data_load4.py:110-166 puts the same stage in its CPU DataLoader) and
+    batches yield {'crop' (B,S,S) f32, 'rate' (B,), 'origin' (B,2)}
+    instead of 'frame' — ~36x less H2D traffic per 1920x1200 frame.
     """
 
     def __init__(self, shard_path: str, batch_size: int,
                  n_threads: int = 4, shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = True):
+                 drop_last: bool = True, crop_size: int | None = None):
         self.meta = read_meta(shard_path)
         self.batch_size = batch_size
-        self._handle = _lib().loader_open(
+        self.crop_size = int(crop_size) if crop_size else 0
+        self._handle = _lib().loader_open2(
             shard_path.encode(), batch_size, n_threads, int(shuffle),
-            seed, int(drop_last))
+            seed, int(drop_last), self.crop_size)
         if not self._handle:
             raise OSError(f'failed to open shard {shard_path}')
         self._epoch = 0
@@ -102,34 +114,50 @@ class NativeBatchLoader:
         self._epoch += 1
         m = self.meta
         b = self.batch_size
+        cs = self.crop_size
+        fptr = ctypes.POINTER(ctypes.c_float)
         while True:
-            frames = np.empty((b, m.height, m.width), np.uint8)
             bbox = np.empty((b, 4), np.float32)
             kp2d = np.empty((b, m.n_kp, 2), np.float32)
             quat = np.empty((b, 4), np.float32)
             trans = np.empty((b, 3), np.float32)
             names = ctypes.create_string_buffer(b * NAME_LEN)
-            count = _lib().loader_next(
-                self._handle,
-                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                bbox.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                kp2d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                quat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                trans.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                names)
+            tail = (bbox.ctypes.data_as(fptr), kp2d.ctypes.data_as(fptr),
+                    quat.ctypes.data_as(fptr), trans.ctypes.data_as(fptr),
+                    names)
+            if cs:
+                crops = np.empty((b, cs, cs), np.float32)
+                rate = np.empty((b,), np.float32)
+                origin = np.empty((b, 2), np.float32)
+                count = _lib().loader_next_cropped(
+                    self._handle, crops.ctypes.data_as(fptr),
+                    rate.ctypes.data_as(fptr),
+                    origin.ctypes.data_as(fptr), *tail)
+            else:
+                frames = np.empty((b, m.height, m.width), np.uint8)
+                count = _lib().loader_next(
+                    self._handle,
+                    frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    *tail)
             if count == 0:
                 return
             name_list = [
                 names.raw[i * NAME_LEN:(i + 1) * NAME_LEN].split(b'\0')[0]
                 .decode() for i in range(count)]
-            yield {
-                'frame': frames[:count],
+            out = {
                 'bbox': bbox[:count],
                 'keypoints_2d': kp2d[:count],
                 'quat': quat[:count],
                 'trans': trans[:count],
                 'name': name_list,
             }
+            if cs:
+                out['crop'] = crops[:count]
+                out['rate'] = rate[:count]
+                out['origin'] = origin[:count]
+            else:
+                out['frame'] = frames[:count]
+            yield out
 
     def close(self) -> None:
         if self._handle:

@@ -12,10 +12,21 @@
 //
 // C ABI (ctypes-friendly):
 //   loader_open(path, batch, threads, shuffle, seed, drop_last) -> handle
+//   loader_open2(..., crop_size)           -> handle (host-crop mode)
 //   loader_meta(handle, out[6])            -> n, h, w, n_kp, compressed, bpr
 //   loader_next(handle, frames, bbox, kp2d, quat, trans, names) -> count|0
+//   loader_next_cropped(handle, crops, rate, origin, bbox, kp2d, quat,
+//                       trans, names)      -> count|0 (crop mode)
 //   loader_reset(handle, seed)             -> new epoch
 //   loader_close(handle)
+//
+// Host-crop mode (crop_size > 0) moves the detector-box -> square crop ->
+// bilinear resize stage onto the loader's worker threads (the reference
+// puts the same stage in its CPU DataLoader, data_load4.py:110-166) and
+// hands out (B, crop, crop) f32 crops + rate/origin.  That shrinks the
+// host->device transfer ~36x (65 KB vs 2.3 MB per 1920x1200 frame), which
+// matters whenever the host link — not the chip — is the bottleneck; raw
+// shards additionally pread only the crop's row block off disk.
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 shard_loader.cpp -lpng -lz -lpthread
 
@@ -129,6 +140,9 @@ bool decode_png_gray(const uint8_t* payload, size_t size, uint8_t* dst,
 
 struct Batch {
   std::vector<uint8_t> frames;
+  std::vector<float> crops;   // crop mode: (count, crop, crop) f32
+  std::vector<float> rate;    // crop mode: (count,)
+  std::vector<float> origin;  // crop mode: (count, 2) [x_new, y_new]
   std::vector<float> bbox;
   std::vector<float> kp2d;
   std::vector<float> quat;
@@ -136,6 +150,75 @@ struct Batch {
   std::vector<char> names;
   int count = 0;
 };
+
+// ESA crop-box rule with exact Python-float semantics (C++ double IS the
+// reference's f64, so no lookup-table tricks are needed here — contrast
+// ops/crop.py:_kmul_table, which exists only because f32-on-device can't
+// reproduce f64 truncation).  Mirrors ops/crop.py:adjust_bbox /
+// reference data_load4.py:110-146.
+struct CropBox {
+  int x0, y0;      // origin
+  int xs, ys;      // crop extent inside the frame
+  int size;        // padded square side (rate = out / size)
+};
+
+CropBox esa_crop_box(const float* bbox, int img_w, int img_h, double k) {
+  double x1 = bbox[0], y1 = bbox[1], x2 = bbox[2], y2 = bbox[3];
+  long long c0 = static_cast<long long>((x1 + x2) / 2.0);
+  long long c1 = static_cast<long long>((y1 + y2) / 2.0);
+  long long half = static_cast<long long>(std::max(x2 - x1, y2 - y1) / 2.0);
+  long long x_new = static_cast<long long>(c0 - k * static_cast<double>(half));
+  long long y_new = static_cast<long long>(c1 - k * static_cast<double>(half));
+  long long w_new = static_cast<long long>(c0 + k * static_cast<double>(half));
+  long long h_new = static_cast<long long>(c1 + k * static_cast<double>(half));
+  if (w_new - x_new != h_new - y_new) h_new = y_new + (w_new - x_new);
+  if (x_new < 0) { w_new -= x_new; x_new = 0; }
+  if (y_new < 0) { h_new -= y_new; y_new = 0; }
+  if (w_new > img_w) { x_new = std::max<long long>(x_new + img_w - w_new, 0); w_new = img_w; }
+  if (h_new > img_h) { y_new = std::max<long long>(y_new + img_h - h_new, 0); h_new = img_h; }
+  CropBox cb;
+  cb.x0 = static_cast<int>(x_new);
+  cb.y0 = static_cast<int>(y_new);
+  cb.xs = static_cast<int>(w_new - x_new);
+  cb.ys = static_cast<int>(h_new - y_new);
+  cb.size = std::max(cb.xs, cb.ys);
+  return cb;
+}
+
+// Bilinear-resample the crop window to (out, out) f32, edge-clamped —
+// identical sampling rule to ops/crop.py:crop_resize_from_boxes (cv2
+// INTER_LINEAR half-pixel convention; clamping reproduces edge padding).
+// src points at row y0 of the frame (row stride = width).
+void resample_crop(const uint8_t* src, int width, const CropBox& cb,
+                   int out, float* dst) {
+  std::vector<int> xi0(out), xi1(out), yi0(out), yi1(out);
+  std::vector<float> xf(out), yf(out);
+  double scale = static_cast<double>(cb.size) / out;
+  for (int i = 0; i < out; ++i) {
+    double g = (i + 0.5) * scale - 0.5;
+    double sx = std::min(std::max(g, 0.0), static_cast<double>(cb.xs - 1));
+    double sy = std::min(std::max(g, 0.0), static_cast<double>(cb.ys - 1));
+    int fx = static_cast<int>(sx), fy = static_cast<int>(sy);
+    xi0[i] = fx;
+    xi1[i] = std::min(fx + 1, cb.xs - 1);
+    xf[i] = static_cast<float>(sx - fx);
+    yi0[i] = fy;
+    yi1[i] = std::min(fy + 1, cb.ys - 1);
+    yf[i] = static_cast<float>(sy - fy);
+  }
+  for (int y = 0; y < out; ++y) {
+    const uint8_t* r0 = src + static_cast<size_t>(yi0[y]) * width + cb.x0;
+    const uint8_t* r1 = src + static_cast<size_t>(yi1[y]) * width + cb.x0;
+    float wy = yf[y];
+    float* o = dst + static_cast<size_t>(y) * out;
+    for (int x = 0; x < out; ++x) {
+      float wx = xf[x];
+      float top = r0[xi0[x]] * (1.0f - wx) + r0[xi1[x]] * wx;
+      float bot = r1[xi0[x]] * (1.0f - wx) + r1[xi1[x]] * wx;
+      o[x] = top * (1.0f - wy) + bot * wy;
+    }
+  }
+}
 
 // Read exactly n bytes at offset via positional reads (thread-safe on one
 // fd, no seek state, no mutex — lets every decode worker read its own
@@ -156,14 +239,15 @@ class Loader {
  public:
   Loader(int fd, ShardHeader hdr, std::vector<RecordIndex> index,
          int batch_size, int n_threads, bool shuffle, uint64_t seed,
-         bool drop_last)
+         bool drop_last, int crop_size = 0)
       : fd_(fd),
         hdr_(hdr),
         index_(std::move(index)),
         batch_size_(batch_size),
         n_threads_(std::max(1, n_threads)),
         shuffle_(shuffle),
-        drop_last_(drop_last) {
+        drop_last_(drop_last),
+        crop_size_(crop_size) {
     reset(seed);
   }
 
@@ -214,6 +298,36 @@ class Loader {
     return count;
   }
 
+  // Crop-mode variant: hands out host-resampled (count, crop, crop) f32
+  // crops plus rate/origin instead of full frames.
+  int next_cropped(float* crops, float* rate, float* origin, float* bbox,
+                   float* kp2d, float* quat, float* trans, char* names) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_ready_.wait(lk, [this] { return !ready_.empty() || epoch_done_; });
+    if (ready_.empty()) return 0;
+    std::unique_ptr<Batch> b = std::move(ready_.front());
+    ready_.pop();
+    lk.unlock();
+    cv_space_.notify_one();
+
+    size_t crop_px = static_cast<size_t>(crop_size_) * crop_size_;
+    int count = b->count;
+    std::memcpy(crops, b->crops.data(), count * crop_px * sizeof(float));
+    std::memcpy(rate, b->rate.data(), count * sizeof(float));
+    std::memcpy(origin, b->origin.data(), count * 2 * sizeof(float));
+    std::memcpy(bbox, b->bbox.data(), count * 4 * sizeof(float));
+    std::memcpy(kp2d, b->kp2d.data(),
+                count * hdr_.n_kp * 2 * sizeof(float));
+    std::memcpy(quat, b->quat.data(), count * 4 * sizeof(float));
+    std::memcpy(trans, b->trans.data(), count * 3 * sizeof(float));
+    std::memcpy(names, b->names.data(), count * kNameLen);
+    {
+      std::lock_guard<std::mutex> lk2(mu_);
+      if (free_.size() < 4) free_.push_back(std::move(b));
+    }
+    return count;
+  }
+
  private:
   void stop() {
     {
@@ -241,7 +355,13 @@ class Loader {
     }
     if (!b) b = std::make_unique<Batch>();
     b->count = static_cast<int>(count);
-    b->frames.resize(count * frame_bytes);
+    if (crop_size_ > 0) {
+      b->crops.resize(count * static_cast<size_t>(crop_size_) * crop_size_);
+      b->rate.resize(count);
+      b->origin.resize(count * 2);
+    } else {
+      b->frames.resize(count * frame_bytes);
+    }
     b->bbox.resize(count * 4);
     b->kp2d.resize(count * hdr_.n_kp * 2);
     b->quat.resize(count * 4);
@@ -266,7 +386,8 @@ class Loader {
       std::atomic<size_t> cursor{0};
       std::atomic<bool> io_error{false};
       auto work = [&] {
-        std::vector<uint8_t> scratch;  // PNG payloads only
+        std::vector<uint8_t> scratch;        // PNG payloads
+        std::vector<uint8_t> frame_scratch;  // crop-mode pixel staging
         size_t i;
         while ((i = cursor.fetch_add(1)) < count) {
           const RecordIndex& ri = index_[order_[start + i]];
@@ -287,11 +408,48 @@ class Loader {
             return;
           }
           size_t px_size = rh.payload_size - kp_bytes;
+          uint64_t px_off = payload_off + kp_bytes;
+          if (crop_size_ > 0) {
+            // host-crop path: resample the box window straight out of the
+            // record; raw shards pread ONLY the crop's row block (typically
+            // ~40% of the frame), PNG shards decode the full frame first
+            CropBox cb = esa_crop_box(rh.bbox, hdr_.width, hdr_.height,
+                                      1.05);
+            const uint8_t* src;
+            if (hdr_.compressed) {
+              frame_scratch.resize(frame_bytes);
+              scratch.resize(px_size);
+              if (!pread_full(fd_, scratch.data(), px_size, px_off)) {
+                io_error.store(true);
+                return;
+              }
+              decode_png_gray(scratch.data(), px_size, frame_scratch.data(),
+                              hdr_.height, hdr_.width);
+              src = frame_scratch.data() +
+                    static_cast<size_t>(cb.y0) * hdr_.width;
+            } else {
+              size_t row_block = static_cast<size_t>(cb.ys) * hdr_.width;
+              frame_scratch.resize(row_block);
+              if (!pread_full(fd_, frame_scratch.data(), row_block,
+                              px_off + static_cast<size_t>(cb.y0) *
+                                           hdr_.width)) {
+                io_error.store(true);
+                return;
+              }
+              src = frame_scratch.data();
+            }
+            size_t crop_px = static_cast<size_t>(crop_size_) * crop_size_;
+            resample_crop(src, hdr_.width, cb, crop_size_,
+                          b->crops.data() + i * crop_px);
+            b->rate[i] = static_cast<float>(crop_size_) / cb.size;
+            b->origin[i * 2] = static_cast<float>(cb.x0);
+            b->origin[i * 2 + 1] = static_cast<float>(cb.y0);
+            continue;
+          }
           uint8_t* dst = b->frames.data() + i * frame_bytes;
           if (hdr_.compressed) {
             scratch.resize(px_size);
-            if (!pread_full(fd_, scratch.data(), px_size,
-                            payload_off + kp_bytes)) {
+            if (!pread_full(fd_, scratch.data(), px_size, px_off)) {
               io_error.store(true);
               return;
             }
@@ -299,7 +457,7 @@ class Loader {
                             hdr_.width);
           } else {
             if (!pread_full(fd_, dst, std::min(px_size, frame_bytes),
-                            payload_off + kp_bytes)) {
+                            px_off)) {
               io_error.store(true);
               return;
             }
@@ -334,6 +492,7 @@ class Loader {
   int n_threads_;
   bool shuffle_;
   bool drop_last_;
+  int crop_size_;  // 0 = full frames, >0 = host-cropped f32 output
 
   std::mutex mu_;
   std::condition_variable cv_ready_, cv_space_;
@@ -349,8 +508,9 @@ class Loader {
 
 extern "C" {
 
-void* loader_open(const char* path, int batch_size, int n_threads,
-                  int shuffle, uint64_t seed, int drop_last) {
+void* loader_open2(const char* path, int batch_size, int n_threads,
+                   int shuffle, uint64_t seed, int drop_last,
+                   int crop_size) {
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   ShardHeader hdr;
@@ -371,7 +531,13 @@ void* loader_open(const char* path, int batch_size, int n_threads,
     off += sizeof(RecordHeader) + rh.payload_size;
   }
   return new Loader(fd, hdr, std::move(index), batch_size, n_threads,
-                    shuffle != 0, seed, drop_last != 0);
+                    shuffle != 0, seed, drop_last != 0, crop_size);
+}
+
+void* loader_open(const char* path, int batch_size, int n_threads,
+                  int shuffle, uint64_t seed, int drop_last) {
+  return loader_open2(path, batch_size, n_threads, shuffle, seed, drop_last,
+                      0);
 }
 
 void loader_meta(void* handle, uint32_t* out) {
@@ -389,6 +555,13 @@ int loader_next(void* handle, uint8_t* frames, float* bbox, float* kp2d,
                 float* quat, float* trans, char* names) {
   return static_cast<Loader*>(handle)->next(frames, bbox, kp2d, quat, trans,
                                             names);
+}
+
+int loader_next_cropped(void* handle, float* crops, float* rate,
+                        float* origin, float* bbox, float* kp2d, float* quat,
+                        float* trans, char* names) {
+  return static_cast<Loader*>(handle)->next_cropped(
+      crops, rate, origin, bbox, kp2d, quat, trans, names);
 }
 
 void loader_reset(void* handle, uint64_t seed) {

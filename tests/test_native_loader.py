@@ -96,3 +96,88 @@ class TestNativeLoader:
         assert (f[:16, :20] == 7).all()
         assert (f[16:, :] == 0).all() and (f[:, 20:] == 0).all()
         loader.close()
+
+
+class TestHostCrop:
+    """Host-crop mode parity: the C++ workers' box math + bilinear resample
+    must match the device path (ops.crop.crop_resize) on the same frames."""
+
+    def _write(self, path, n=6, h=120, w=160, compressed=False):
+        rng = np.random.default_rng(3)
+        frames, bboxes = [], []
+        with shards.ShardWriter(str(path), h, w, 5,
+                                compressed=compressed) as sw:
+            for i in range(n):
+                frame = rng.integers(0, 255, size=(h, w), dtype=np.uint8)
+                x1, y1 = rng.uniform(5, 60), rng.uniform(5, 40)
+                bw, bh = rng.uniform(20, 80), rng.uniform(20, 60)
+                bbox = np.array([x1, y1, x1 + bw, y1 + bh], np.float32)
+                kp = rng.uniform(0, 64, (5, 2)).astype(np.float32)
+                sw.add(f'img{i:03d}.jpg', frame, bbox, kp,
+                       rng.normal(size=4).astype(np.float32),
+                       rng.normal(size=3).astype(np.float32))
+                frames.append(frame)
+                bboxes.append(bbox)
+        return np.stack(frames), np.stack(bboxes)
+
+    @pytest.mark.parametrize('compressed', [False, True])
+    def test_matches_device_crop(self, tmp_path, lib, compressed):
+        import jax.numpy as jnp
+
+        from esa_pose_estimation_tpu.ops import crop as crop_ops
+
+        path = tmp_path / f'shard_hc_{compressed}.spd'
+        frames, bboxes = self._write(path, compressed=compressed)
+        h, w = frames.shape[1:]
+        out = 32
+        ref_crops, ref_rates, ref_origins = crop_ops.crop_resize(
+            jnp.asarray(frames, jnp.float32), jnp.asarray(bboxes), out,
+            img_w=w, img_h=h)
+        loader = NativeBatchLoader(str(path), batch_size=6, shuffle=False,
+                                   drop_last=False, n_threads=2,
+                                   crop_size=out)
+        batch = next(iter(loader))
+        assert batch['crop'].shape == (6, out, out)
+        assert 'frame' not in batch
+        np.testing.assert_allclose(batch['rate'], np.asarray(ref_rates),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(batch['origin'],
+                                   np.asarray(ref_origins, np.float32))
+        # f32-vs-f64 sample-coordinate rounding: sub-0.05-greylevel slack
+        np.testing.assert_allclose(batch['crop'], np.asarray(ref_crops),
+                                   atol=0.05)
+        loader.close()
+
+    def test_box_spilling_frame_edges(self, tmp_path, lib):
+        """Boxes whose 1.05x square expansion exceeds the frame exercise
+        the clamp-shift branches of the C++ box rule."""
+        import jax.numpy as jnp
+
+        from esa_pose_estimation_tpu.ops import crop as crop_ops
+
+        h, w, out = 60, 80, 16
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 255, size=(4, h, w), dtype=np.uint8)
+        bboxes = np.array([
+            [0., 0., 50., 30.],        # top-left spill
+            [40., 30., 79., 59.],      # bottom-right spill
+            [1., 1., 79., 59.],        # larger than the frame
+            [30., 20., 45., 35.],      # interior
+        ], np.float32)
+        path = tmp_path / 'shard_edges.spd'
+        with shards.ShardWriter(str(path), h, w, 1) as sw:
+            for i in range(4):
+                sw.add(f'img{i:03d}.jpg', frames[i], bboxes[i], [[0., 0.]])
+        ref_crops, ref_rates, ref_origins = crop_ops.crop_resize(
+            jnp.asarray(frames, jnp.float32), jnp.asarray(bboxes), out,
+            img_w=w, img_h=h)
+        loader = NativeBatchLoader(str(path), batch_size=4, shuffle=False,
+                                   drop_last=False, crop_size=out)
+        batch = next(iter(loader))
+        np.testing.assert_allclose(batch['rate'], np.asarray(ref_rates),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(batch['origin'],
+                                   np.asarray(ref_origins, np.float32))
+        np.testing.assert_allclose(batch['crop'], np.asarray(ref_crops),
+                                   atol=0.05)
+        loader.close()
