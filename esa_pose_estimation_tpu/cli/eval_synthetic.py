@@ -1,0 +1,90 @@
+"""Held-out synthetic SPEED evaluation with per-frame score statistics.
+
+Loads a trained checkpoint and scores N held-out synthetic frames (seeds
+disjoint from the training stream) through the full serving pipeline,
+printing median / p90 / mean SPEED score and the fraction of frames
+beating the reference leaderboard score (0.0193, README.md:11) — the
+QUALITY.md methodology.  Mirrors the per-image scoring of the reference's
+``demo.val`` (demo.py:295-310) but batched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--workdir', default='runs/esa_syn')
+    ap.add_argument('--checkpoint', default='best_rotate')
+    ap.add_argument('--frames', type=int, default=128)
+    ap.add_argument('--batch-size', type=int, default=32)
+    ap.add_argument('--seed', type=int, default=991)
+    ap.add_argument('--n-hypotheses', type=int, default=64)
+    args = ap.parse_args(argv)
+
+    import os
+
+    from esa_pose_estimation_tpu.data import synthetic
+    from esa_pose_estimation_tpu.eval.speed_score import (
+        speed_score_from_matrices,
+    )
+    from esa_pose_estimation_tpu.models import HRNet
+    from esa_pose_estimation_tpu.pipeline import infer_poses
+    from esa_pose_estimation_tpu.train import state as state_mod
+    from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
+    from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+    model = HRNet(cfg_mod.hrnet_esa(), dtype=jnp.bfloat16)
+    st = state_mod.create_train_state(model, cfg_mod.TrainConfig(),
+                                      jax.random.PRNGKey(0),
+                                      (1, 128, 128, 1))
+    ckpt = CheckpointManager(os.path.join(args.workdir, 'net_esa'))
+    st, epoch = ckpt.restore(args.checkpoint, st)
+    print(f'# loaded {args.checkpoint} (epoch {epoch - 1})')
+    variables = {'params': st.params, 'batch_stats': st.batch_stats}
+    points_3d = synthetic.spacecraft_points()
+
+    all_scores = []
+    depths = []
+    n_batches = -(-args.frames // args.batch_size)
+    for i in range(n_batches):
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        batch = synthetic.make_batch(key, args.batch_size, points_3d,
+                                     with_frames=True)
+        out = infer_poses(model, variables, batch['frame'], batch['bbox'],
+                          points_3d, jax.random.fold_in(key, 7),
+                          conf_threshold=0.6, min_keypoints=0,
+                          n_hypotheses=args.n_hypotheses)
+        s = speed_score_from_matrices(out.R, out.trans, batch['quat'],
+                                      batch['trans'])
+        all_scores.append(np.asarray(s.score_t) + np.asarray(s.score_r))
+        depths.append(np.asarray(batch['trans'])[:, 2])
+    scores = np.concatenate(all_scores)[:args.frames]
+    depths = np.concatenate(depths)[:args.frames]
+
+    ref = 0.0193
+    out = {
+        'frames': int(len(scores)),
+        'median': round(float(np.median(scores)), 4),
+        'p90': round(float(np.percentile(scores, 90)), 4),
+        'mean': round(float(scores.mean()), 4),
+        'beat_reference_frac': round(float((scores < ref).mean()), 3),
+        'worst': round(float(scores.max()), 3),
+        'worst_depth_m': round(float(depths[scores.argmax()]), 1),
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == '__main__':
+    main()

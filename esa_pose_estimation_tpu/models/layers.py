@@ -44,26 +44,25 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int],
     if not align_corners:
         import jax
         return jax.image.resize(x, (n, oh, ow, c), method='bilinear')
-    # align_corners=True: sample positions i * (h-1)/(oh-1).
-    def axis_weights(in_size, out_size, dtype):
+    # align_corners=True: sample positions i * (h-1)/(oh-1).  Expressed as
+    # dense tent-weight interpolation matmuls (one per axis) instead of
+    # gathers: samples lie inside [0, in-1], so max(0, 1-|j-pos|) is the
+    # exact two-tap bilinear weight, and the resample rides the MXU (same
+    # trick as ops/crop.py:_interp_matrix; gathers are the slow path here).
+    def axis_matrix(in_size, out_size):
         if out_size == 1 or in_size == 1:
-            idx0 = jnp.zeros((out_size,), jnp.int32)
-            return idx0, idx0, jnp.zeros((out_size,), dtype)
-        pos = jnp.arange(out_size, dtype=dtype) * ((in_size - 1) / (out_size - 1))
-        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
-        i1 = jnp.minimum(i0 + 1, in_size - 1)
-        frac = pos - i0.astype(dtype)
-        return i0, i1, frac
+            m = jnp.zeros((out_size, in_size), jnp.float32)
+            return m.at[:, 0].set(1.0)
+        pos = jnp.arange(out_size, dtype=jnp.float32) \
+            * ((in_size - 1) / (out_size - 1))
+        idx = jnp.arange(in_size, dtype=jnp.float32)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(idx[None, :] - pos[:, None]))
 
     dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
-    y0, y1, fy = axis_weights(h, oh, dt)
-    x0, x1, fx = axis_weights(w, ow, dt)
-    top = x[:, y0]
-    bot = x[:, y1]
-    rows = top * (1 - fy)[None, :, None, None] + bot * fy[None, :, None, None]
-    left = rows[:, :, x0]
-    right = rows[:, :, x1]
-    return left * (1 - fx)[None, None, :, None] + right * fx[None, None, :, None]
+    wy = axis_matrix(h, oh).astype(dt)
+    wx = axis_matrix(w, ow).astype(dt)
+    rows = jnp.einsum('oh,nhwc->nowc', wy, x)
+    return jnp.einsum('pw,nowc->nopc', wx, rows)
 
 
 class ConvBN(nn.Module):
