@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument('--batch-size', type=int, default=32)
     ap.add_argument('--seed', type=int, default=991)
     ap.add_argument('--n-hypotheses', type=int, default=64)
+    ap.add_argument('--detector-workdir', default=None,
+                    help='score the two-stage pipeline: boxes come from '
+                         'this trained detector instead of ground truth')
     args = ap.parse_args(argv)
 
     import os
@@ -54,6 +57,28 @@ def main(argv=None):
     variables = {'params': st.params, 'batch_stats': st.batch_stats}
     points_3d = synthetic.spacecraft_points()
 
+    detect = None
+    if args.detector_workdir:
+        from esa_pose_estimation_tpu.cli.train_detector import (
+            create_detector_state,
+        )
+        from esa_pose_estimation_tpu.models.detector import TinyDetector
+        from esa_pose_estimation_tpu.pipeline import detect_frames
+
+        det = TinyDetector(width=32, stride=16)
+        dst = create_detector_state(det, jax.random.PRNGKey(1), 1e-3,
+                                    (300, 480), total_steps=1000)
+        ddir = os.path.join(args.detector_workdir, 'net_detector')
+        name = 'best_iou' if os.path.exists(
+            os.path.join(ddir, 'best_iou')) else 'last'
+        dst, _ = CheckpointManager(ddir).restore(name, dst)
+        det_vars = {'params': dst.params, 'batch_stats': dst.batch_stats}
+
+        def detect(frames):
+            boxes, _ = detect_frames(det, det_vars, frames,
+                                     detector_downscale=4, box_expand=1.1)
+            return boxes
+
     all_scores = []
     depths = []
     n_batches = -(-args.frames // args.batch_size)
@@ -61,7 +86,8 @@ def main(argv=None):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         batch = synthetic.make_batch(key, args.batch_size, points_3d,
                                      with_frames=True)
-        out = infer_poses(model, variables, batch['frame'], batch['bbox'],
+        boxes = detect(batch['frame']) if detect else batch['bbox']
+        out = infer_poses(model, variables, batch['frame'], boxes,
                           points_3d, jax.random.fold_in(key, 7),
                           conf_threshold=0.6, min_keypoints=0,
                           n_hypotheses=args.n_hypotheses)
