@@ -56,7 +56,14 @@ from esa_pose_estimation_tpu.utils import render
 
 def synthetic_linemod_batch(key, batch_size, db, model_pts, faces, kp3d,
                             size=128):
-    """Rendered-mask LINEMOD-like batch: pose -> mask render -> targets."""
+    """Rendered LINEMOD-like batch: pose -> depth-shaded render -> targets.
+
+    The network input is the depth-shaded surface (``image``), not the
+    binary silhouette: a silhouette of a near-convex object is almost
+    pose-invariant, which makes keypoint regression ill-posed; shading
+    restores the 3D appearance cue real LINEMOD photos carry.  ``mask``
+    stays binary for the seg / vertex-field targets.
+    """
     K = jnp.asarray(camera.LINEMOD_K, jnp.float32) * (size / 640.0)
     K = K.at[2, 2].set(1.0)
     keys = jax.random.split(key, batch_size)
@@ -67,13 +74,21 @@ def synthetic_linemod_batch(key, batch_size, db, model_pts, faces, kp3d,
         q = q / jnp.linalg.norm(q)
         R = camera.quat_to_rotmat(q)
         t = jnp.array([0.0, 0.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * \
-            jax.random.uniform(kt, (), minval=0.5, maxval=0.9)
-        mask, _ = render.rasterize(model_pts, faces, R, t, K, size, size)
+            jax.random.uniform(kt, (), minval=0.35, maxval=0.55)
+        mask, depth = render.rasterize(model_pts, faces, R, t, K, size,
+                                       size)
+        maskf = mask.astype(jnp.float32)
+        # depth-shade inside the mask: near surface bright, far dim
+        zc = t[2]
+        finite = jnp.where(jnp.isfinite(depth), depth, zc)
+        shade = jnp.clip(1.0 - (finite - (zc - 0.2)) / 0.4, 0.0, 1.0)
+        image = shade * maskf
         kp2d = camera.project_points(kp3d, R, t, K)
-        return mask.astype(jnp.float32), kp2d, R, t
+        return image, maskf, kp2d, R, t
 
-    masks, kp2d, Rs, ts = jax.vmap(one)(keys)
-    return {'mask': masks, 'keypoints_2d': kp2d, 'R': Rs, 't': ts, 'K': K}
+    images, masks, kp2d, Rs, ts = jax.vmap(one)(keys)
+    return {'image': images, 'mask': masks, 'keypoints_2d': kp2d,
+            'R': Rs, 't': ts, 'K': K}
 
 
 def make_icosphere(radius=0.06, subdiv=2):
@@ -110,9 +125,17 @@ def make_icosphere(radius=0.06, subdiv=2):
         verts = np.asarray(verts, float)
     verts = np.asarray(verts, float)
     verts = verts / np.linalg.norm(verts, axis=1, keepdims=True) * radius
-    # squash one axis so the object is not rotation-symmetric
-    verts[:, 2] *= 0.6
-    verts[:, 0] *= 1.2
+    # Lumpy asymmetric deformation: an ellipsoid keeps a 4-element
+    # rotation symmetry group (silhouette-identical poses), which makes
+    # pose-from-appearance ill-posed; angular bumps give the object a
+    # trivial symmetry group so every pose is visually distinct.
+    az = np.arctan2(verts[:, 1], verts[:, 0])
+    el = np.arcsin(np.clip(verts[:, 2] / radius, -1, 1))
+    bump = (1.0 + 0.35 * np.sin(3 * az) * np.cos(el)
+            + 0.25 * np.sin(2 * el + 0.7) * np.cos(az + 0.3))
+    verts *= bump[:, None]
+    verts[:, 2] *= 0.75
+    verts[:, 0] *= 1.15
     return verts.astype(np.float32), faces
 
 
@@ -261,8 +284,8 @@ def train(args) -> dict:
     events = JsonlLogger(os.path.join(args.workdir, 'events.jsonl'))
 
     def batch_inputs(batch):
-        img = jnp.repeat(batch['mask'][..., None], 3, axis=-1)
-        return img
+        src = batch.get('image', batch['mask'])
+        return jnp.repeat(src[..., None], 3, axis=-1)
 
     @jax.jit
     def step(params, batch_stats, opt_state, batch, key):
