@@ -276,7 +276,11 @@ def train(args) -> dict:
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, size, size, 3)), train=False)
     params, batch_stats = variables['params'], variables['batch_stats']
-    tx = optax.adam(args.lr)
+    # cosine decay to ~0 over the run (the reference steps lr/10 at fixed
+    # epochs, main.py:223-234; a smooth schedule converges the slower
+    # vertex-field head without tuning step epochs per run length)
+    total_steps = max(args.epochs * args.steps_per_epoch, 1)
+    tx = optax.adam(optax.cosine_decay_schedule(args.lr, total_steps, 0.01))
     opt_state = tx.init(params)
 
     logger = TsvLogger(os.path.join(args.workdir, f'log_{args.cls}.txt'))
