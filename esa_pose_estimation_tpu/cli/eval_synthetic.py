@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument('--detector-workdir', default=None,
                     help='score the two-stage pipeline: boxes come from '
                          'this trained detector instead of ground truth')
+    ap.add_argument('--tiny', action='store_true',
+                    help='tiny model topology (must match a --tiny '
+                         'training run)')
+    ap.add_argument('--crop-size', type=int, default=128)
     args = ap.parse_args(argv)
 
     import os
@@ -47,15 +51,17 @@ def main(argv=None):
     from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
     from esa_pose_estimation_tpu.utils import config as cfg_mod
 
-    model = HRNet(cfg_mod.hrnet_esa(), dtype=jnp.bfloat16)
-    st = state_mod.create_train_state(model, cfg_mod.TrainConfig(),
-                                      jax.random.PRNGKey(0),
-                                      (1, 128, 128, 1))
+    model_cfg = cfg_mod.hrnet_tiny() if args.tiny else cfg_mod.hrnet_esa()
+    model = HRNet(model_cfg, dtype=jnp.bfloat16)
+    st = state_mod.create_train_state(
+        model, cfg_mod.TrainConfig(crop_size=args.crop_size),
+        jax.random.PRNGKey(0),
+        (1, args.crop_size, args.crop_size, 1))
     ckpt = CheckpointManager(os.path.join(args.workdir, 'net_esa'))
     st, epoch = ckpt.restore(args.checkpoint, st)
     print(f'# loaded {args.checkpoint} (epoch {epoch - 1})')
     variables = {'params': st.params, 'batch_stats': st.batch_stats}
-    points_3d = synthetic.spacecraft_points()
+    points_3d = synthetic.spacecraft_points(model_cfg.num_keypoints)
 
     detect = None
     if args.detector_workdir:
@@ -89,7 +95,8 @@ def main(argv=None):
         boxes = detect(batch['frame']) if detect else batch['bbox']
         out = infer_poses(model, variables, batch['frame'], boxes,
                           points_3d, jax.random.fold_in(key, 7),
-                          conf_threshold=0.6, min_keypoints=0,
+                          crop_size=args.crop_size, conf_threshold=0.6,
+                          min_keypoints=0,
                           n_hypotheses=args.n_hypotheses)
         s = speed_score_from_matrices(out.R, out.trans, batch['quat'],
                                       batch['trans'])

@@ -89,9 +89,21 @@ def make_synthetic_epoch(key, n_batches, batch_size, points_3d, crop_size):
 
 
 def train(args) -> dict:
+    # Reference schedule boundaries (80/100/170, main.py:298-299) assume a
+    # ~100-epoch run; for shorter runs scale them so the 10x decays still
+    # happen (the final-epoch precision depends on reaching the low-lr
+    # phase).  --lr-boundaries overrides explicitly.
+    if args.lr_boundaries:
+        bounds = tuple(int(b) for b in args.lr_boundaries.split(','))
+    else:
+        base = cfg_mod.TrainConfig.lr_boundaries
+        bounds = (base if args.epochs >= base[1]
+                  else tuple(max(1, round(b * args.epochs / 100))
+                             for b in base))
     cfg = cfg_mod.TrainConfig(batch_size=args.batch_size,
                               crop_size=args.crop_size,
-                              num_epochs=args.epochs)
+                              num_epochs=args.epochs,
+                              lr_boundaries=bounds)
     workdir = args.workdir
     os.makedirs(workdir, exist_ok=True)
     class_name = 'esa'
@@ -281,6 +293,10 @@ def main(argv=None):
     ap.add_argument('--crop-size', type=int, default=128)
     ap.add_argument('--synthetic-size', type=int, default=2048)
     ap.add_argument('--tcp-host', default=None)
+    ap.add_argument('--lr-boundaries', default=None,
+                    help='comma-separated epoch boundaries for the 10x '
+                         'LR drops (default: reference 80,100,170 scaled '
+                         'to --epochs)')
     ap.add_argument('--tiny', action='store_true',
                     help='tiny model/config for smoke tests')
     ap.add_argument('--max-retries', type=int, default=0,

@@ -112,3 +112,23 @@ class TestSubmitCli:
         rows = open(path).read().strip().split('\n')
         assert len(rows) == 4
         assert all(len(r.split(',')) == 8 for r in rows)
+
+
+@pytest.mark.slow
+class TestEvalSyntheticCli:
+    def test_tiny_train_then_eval(self, tmp_path):
+        """cli/eval_synthetic consumes a --tiny training run and prints
+        the held-out score statistics dict."""
+        from esa_pose_estimation_tpu.cli import eval_synthetic, train
+
+        workdir = str(tmp_path / 'run')
+        train.main(['--workdir', workdir, '--tiny', '--epochs', '1',
+                    '--batch-size', '8', '--crop-size', '32',
+                    '--synthetic-size', '16'])
+        out = eval_synthetic.main([
+            '--workdir', workdir, '--checkpoint', 'last', '--tiny',
+            '--crop-size', '32', '--frames', '8', '--batch-size', '8',
+            '--n-hypotheses', '8'])
+        assert out['frames'] == 8
+        assert np.isfinite(out['median'])
+        assert 0.0 <= out['beat_reference_frac'] <= 1.0
