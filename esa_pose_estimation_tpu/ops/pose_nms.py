@@ -113,3 +113,41 @@ def ref_dists_from_bboxes(bboxes: jnp.ndarray) -> jnp.ndarray:
     w = bboxes[..., 2] - bboxes[..., 0]
     h = bboxes[..., 3] - bboxes[..., 1]
     return ALPHA * jnp.maximum(w, h)
+
+
+def write_json(all_results, output_path: str, for_eval: bool = False
+               ) -> str:
+    """COCO/AlphaPose-style result export (p_poseNMS.py:283-314 parity).
+
+    all_results: iterable of {'imgname': str, 'result': [{'keypoints'
+    (K, 2), 'kp_score' (K,), 'proposal_score' float}, ...]} — e.g. built
+    from :func:`pose_nms` outputs filtered by ``valid``.  Writes
+    ``alphapose-results.json`` under ``output_path`` and returns the file
+    path.  ``for_eval`` emits integer image ids (the reference's
+    trailing-number rule) instead of file names.
+    """
+    import json
+    import os
+
+    json_results = []
+    for im_res in all_results:
+        im_name = str(im_res['imgname'])
+        base = im_name.split('/')[-1]
+        for human in im_res['result']:
+            kp = jnp.asarray(human['keypoints']).reshape(-1, 2)
+            ks = jnp.asarray(human['kp_score']).reshape(-1)
+            flat = []
+            for n in range(ks.shape[0]):
+                flat += [float(kp[n, 0]), float(kp[n, 1]), float(ks[n])]
+            json_results.append({
+                'image_id': (int(base.split('.')[0].split('_')[-1])
+                             if for_eval else base),
+                'category_id': 1,
+                'keypoints': flat,
+                'score': float(human['proposal_score']),
+            })
+    os.makedirs(output_path, exist_ok=True)
+    path = os.path.join(output_path, 'alphapose-results.json')
+    with open(path, 'w') as f:
+        f.write(json.dumps(json_results))
+    return path
