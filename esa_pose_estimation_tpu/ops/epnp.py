@@ -165,7 +165,7 @@ def smallest_eigvecs(A: jnp.ndarray, k: int = 4,
     m = A.shape[-1]
     tr = jnp.trace(A, axis1=-2, axis2=-1)
     ridge = (1e-6 * tr / m + 1e-12)[..., None, None]
-    L = jnp.linalg.cholesky(A + ridge * jnp.eye(m, dtype=A.dtype))
+    L = linalg.cholesky_small(A + ridge * jnp.eye(m, dtype=A.dtype))
     # Fixed full-rank start basis (deterministic; not axis-aligned so it is
     # never orthogonal to the target subspace in practice).
     import numpy as _np
@@ -173,10 +173,7 @@ def smallest_eigvecs(A: jnp.ndarray, k: int = 4,
     X0 = jnp.asarray(_np.linalg.qr(rng.normal(size=(m, k)))[0], A.dtype)
     X = jnp.broadcast_to(X0, A.shape[:-2] + (m, k))
     for _ in range(iters):
-        Y = jax.scipy.linalg.solve_triangular(L, X, lower=True)
-        X = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), Y, lower=False)
-        X = _gram_schmidt(X)
+        X = _gram_schmidt(linalg.cho_solve_small(L, X))
     return X
 
 
@@ -221,7 +218,7 @@ def _refine_betas(betas0: jnp.ndarray, V: jnp.ndarray, dist_w: jnp.ndarray,
         J = linalg.einsum('...pi,...kpi->...pk', unit, Vd)      # (..., 6, 4)
         H = linalg.einsum('...pk,...pl->...kl', J, J) + 1e-9 * eye4
         g = linalg.einsum('...pk,...p->...k', J, r)
-        betas = betas - linalg.solve(H, g[..., None])[..., 0]
+        betas = betas - linalg.solve_psd(H, g)
     return betas
 
 

@@ -112,7 +112,7 @@ def _lm_refine_batched(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
         diag = jnp.diagonal(H, axis1=-2, axis2=-1)
         damped = H + lam[..., None, None] * (
             jnp.maximum(diag, 1e-10)[..., None] * eye6)
-        step = -jnp.linalg.solve(damped, g[..., None])[..., 0]
+        step = -linalg.solve_psd(damped, g)
 
         R_new = linalg.matmul(rodrigues(step[..., :3]), R)
         t_new = t + step[..., 3:]
@@ -206,7 +206,7 @@ def _lm_refine_cov(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
         diag = jnp.diagonal(H, axis1=-2, axis2=-1)
         damped = H + lam[..., None, None] * (
             jnp.maximum(diag, 1e-10)[..., None] * eye6)
-        step = -jnp.linalg.solve(damped, g[..., None])[..., 0]
+        step = -linalg.solve_psd(damped, g)
         R_new = linalg.matmul(rodrigues(step[..., :3]), R)
         t_new = t + step[..., 3:]
         _, _, r_new = residual(R_new, t_new)
