@@ -204,7 +204,7 @@ class HRNet(nn.Module):
         total = resize_bilinear(total, (2 * h0, 2 * w0), align_corners=True)
 
         if c.attended_stem_skip:
-            skip = CBAM(dtype=self.dtype)(stem)
+            skip = CBAM(dtype=self.dtype)(stem, train=train)
         else:
             skip = raw_in
         skip = resize_bilinear(skip, total.shape[1:3], align_corners=True)

@@ -133,14 +133,64 @@ class SpatialAttention(nn.Module):
         return nn.sigmoid(s)
 
 
+# Serving-time dispatch of CBAM to the fused Pallas kernel
+# (ops/pallas/cbam_fuse.py).  Module-level so tests can force either path.
+#
+# Default False: measured on v5e at batch 256 (2026-08-17), the kernel
+# beats the standalone XLA composite only when the channel dim fills the
+# 128-lane VPU and the map is large (64x64x256: 8.4 vs 9.6 ms, 1.14x;
+# everywhere else the 98-tap spatial-conv loop and partial-lane channel
+# ops lose — 64x64x32: 5.1 vs 0.84 ms, 128x128x64: 19.7 vs 10.7 ms), and
+# even dispatching it only at the winning shape moved the end-to-end
+# serving bench 3024 -> 3016 img/s (noise): inside the full program XLA
+# fuses the composite's gate passes into the surrounding convs, so there
+# is no traffic left to save.  The kernel stays as tested infrastructure
+# (and a documented negative result) rather than a default.
+FUSED_CBAM: bool | None = False
+
+
+def _fused_cbam_profitable(shape) -> bool:
+    _, h, w, c = shape
+    return c >= 256 and h * w >= 4096
+
+
 class CBAM(nn.Module):
+    """Channel + spatial gate, optionally fused with the residual tail.
+
+    ``__call__(x)`` returns the gated map (reference seg_hrnet3.py:499:
+    the attended stem skip).  ``__call__(x, residual)`` additionally
+    applies the block tail ``relu(gated + residual)`` (seg_hrnet3.py:95-97)
+    so that on TPU at eval time the whole chain runs as one Pallas kernel
+    (one read of x/residual, one write — the XLA composite costs ~6 HBM
+    passes per block).  Training and non-TPU backends use the Flax
+    composite below, which created the identical param tree in round 1
+    (checkpoints stay compatible).
+    """
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = ChannelAttention(dtype=self.dtype)(x) * x
-        x = SpatialAttention(dtype=self.dtype)(x) * x
-        return x
+    def __call__(self, x, residual=None, train: bool = False):
+        use_fused = FUSED_CBAM
+        if use_fused is None:
+            import jax
+            use_fused = (not train and jax.default_backend() == 'tpu'
+                         and _fused_cbam_profitable(x.shape))
+        if use_fused and not self.is_initializing():
+            from esa_pose_estimation_tpu.ops.pallas.cbam_fuse import (
+                fused_cbam_pallas,
+            )
+            ca = self.get_variable('params', 'ChannelAttention_0')
+            sa = self.get_variable('params', 'SpatialAttention_0')
+            c = x.shape[-1]
+            fc1 = ca['Conv_0']['kernel'].reshape(c, -1)
+            fc2 = ca['Conv_1']['kernel'].reshape(-1, c)
+            spw = sa['Conv_0']['kernel'].reshape(7, 7, 2)
+            return fused_cbam_pallas(x, fc1, fc2, spw, residual)
+        x_g = ChannelAttention(dtype=self.dtype)(x) * x
+        x_g = SpatialAttention(dtype=self.dtype)(x_g) * x_g
+        if residual is None:
+            return x_g
+        return nn.relu(x_g + residual).astype(self.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -159,12 +209,12 @@ class BasicBlock(nn.Module):
                      axis_name=self.axis_name)(x, train)
         out = ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype,
                      axis_name=self.axis_name)(out, train)
-        if self.with_cbam:
-            out = CBAM(dtype=self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = ConvBN(self.features, 1, self.stride, relu=False,
                               dtype=self.dtype,
                               axis_name=self.axis_name)(x, train)
+        if self.with_cbam:
+            return CBAM(dtype=self.dtype)(out, residual, train)
         return nn.relu(out + residual).astype(self.dtype)
 
 
@@ -187,12 +237,12 @@ class Bottleneck(nn.Module):
                      axis_name=self.axis_name)(out, train)
         out = ConvBN(out_ch, 1, 1, relu=False, dtype=self.dtype,
                      axis_name=self.axis_name)(out, train)
-        if self.with_cbam:
-            out = CBAM(dtype=self.dtype)(out)
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = ConvBN(out_ch, 1, self.stride, relu=False,
                               dtype=self.dtype,
                               axis_name=self.axis_name)(x, train)
+        if self.with_cbam:
+            return CBAM(dtype=self.dtype)(out, residual, train)
         return nn.relu(out + residual).astype(self.dtype)
 
 
