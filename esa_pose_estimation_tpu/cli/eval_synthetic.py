@@ -33,6 +33,9 @@ def main(argv=None):
     ap.add_argument('--detector-workdir', default=None,
                     help='score the two-stage pipeline: boxes come from '
                          'this trained detector instead of ground truth')
+    ap.add_argument('--detector-downscale', type=int, default=4,
+                    help='average-pool factor for the detector input '
+                         '(must match its training)')
     ap.add_argument('--tiny', action='store_true',
                     help='tiny model topology (must match a --tiny '
                          'training run)')
@@ -71,9 +74,11 @@ def main(argv=None):
         from esa_pose_estimation_tpu.models.detector import TinyDetector
         from esa_pose_estimation_tpu.pipeline import detect_frames
 
+        ds = args.detector_downscale
         det = TinyDetector(width=32, stride=16)
         dst = create_detector_state(det, jax.random.PRNGKey(1), 1e-3,
-                                    (300, 480), total_steps=1000)
+                                    (1200 // ds, 1920 // ds),
+                                    total_steps=1000)
         ddir = os.path.join(args.detector_workdir, 'net_detector')
         name = 'best_iou' if os.path.exists(
             os.path.join(ddir, 'best_iou')) else 'last'
@@ -82,11 +87,13 @@ def main(argv=None):
 
         def detect(frames):
             boxes, _ = detect_frames(det, det_vars, frames,
-                                     detector_downscale=4, box_expand=1.1)
+                                     detector_downscale=ds, box_expand=1.1)
             return boxes
 
     all_scores = []
     depths = []
+    pix_err_sum = 0.0
+    pix_err_n = 0
     n_batches = -(-args.frames // args.batch_size)
     for i in range(n_batches):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
@@ -102,6 +109,13 @@ def main(argv=None):
                                       batch['trans'])
         all_scores.append(np.asarray(s.score_t) + np.asarray(s.score_r))
         depths.append(np.asarray(batch['trans'])[:, 2])
+        # Per-keypoint pixel error over the confidence-selected peaks
+        # (reference "Gaiss" stat, demo.py:328-339 / main.log:6434).
+        err = np.linalg.norm(np.asarray(out.keypoints_2d) -
+                             np.asarray(batch['keypoints_2d']), axis=-1)
+        m = np.asarray(out.selected)
+        pix_err_sum += float((err * m).sum())
+        pix_err_n += int(m.sum())
     scores = np.concatenate(all_scores)[:args.frames]
     depths = np.concatenate(depths)[:args.frames]
 
@@ -114,6 +128,7 @@ def main(argv=None):
         'beat_reference_frac': round(float((scores < ref).mean()), 3),
         'worst': round(float(scores.max()), 3),
         'worst_depth_m': round(float(depths[scores.argmax()]), 1),
+        'pix_err_px': round(pix_err_sum / max(pix_err_n, 1), 3),
     }
     print(json.dumps(out))
     return out

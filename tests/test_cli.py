@@ -132,3 +132,4 @@ class TestEvalSyntheticCli:
         assert out['frames'] == 8
         assert np.isfinite(out['median'])
         assert 0.0 <= out['beat_reference_frac'] <= 1.0
+        assert np.isfinite(out['pix_err_px']) and out['pix_err_px'] >= 0.0
