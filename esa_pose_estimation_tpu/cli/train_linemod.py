@@ -389,40 +389,47 @@ def train(args) -> dict:
         logger.append([epoch + 1, args.lr, float(np.mean(losses))])
         print(f'{args.cls} epoch {epoch + 1}: loss {np.mean(losses):.5f}')
 
-        # eval: pose metrics through the full decode stack
-        ebatch = synthetic_linemod_batch(jax.random.fold_in(key, 999999),
-                                         args.batch_size, db, model_pts,
-                                         facesj, kp3d, size)
-        out = model.apply({'params': params, 'batch_stats': batch_stats},
-                          batch_inputs(ebatch), train=False)
-        Kc = ebatch['K']
-        if args.mode == 'heatmap':
-            hm = jnp.transpose(out, (0, 3, 1, 2))
-            coords, maxvals = peak_ops.decode_heatmaps(hm)
-            res = pnp_mod.ransac_epnp(
-                jnp.broadcast_to(kp3d, (args.batch_size,) + kp3d.shape),
-                coords, Kc, jax.random.PRNGKey(3))
-            R_pred, t_pred = res.R, res.t
-        else:
-            seg, vert = out
-            seg_mask = (jnp.argmax(seg, axis=-1) == 1).astype(jnp.float32)
-            field = vert.reshape(vert.shape[:3] + (args.num_keypoints, 2))
-            vres = voting_ops.ransac_voting(seg_mask, field,
-                                            jax.random.PRNGKey(4))
-            # Reference eval path (evaluation.py:471-508): covariance is
-            # estimated AROUND the voting winners with the looser 0.99
-            # threshold (ransac_voting_gpu.py:333-406) and feeds
-            # covariance-weighted PnP.
-            kp_mean, kp_cov = voting_ops.estimate_voting_distribution_with_mean(
-                seg_mask, field, vres.keypoints, jax.random.PRNGKey(6))
-            R_pred, t_pred = pnp_mod.uncertainty_pnp(
-                jnp.broadcast_to(kp3d, (args.batch_size,) + kp3d.shape),
-                kp_mean, kp_cov, Kc, jax.random.PRNGKey(5))
-        acc = evaluator.pose_accuracy(
-            model_pts, db.get_diameter(args.cls), Kc,
-            R_pred, t_pred, ebatch['R'], ebatch['t'],
-            symmetric=db.is_symmetric(args.cls))
-        result = {k: float(v) for k, v in acc.items()}
+        # eval: pose metrics through the full decode stack, over
+        # ``--eval-batches`` held-out batches (metric granularity
+        # 1/(eval_batches*batch_size))
+        accs = []
+        for j in range(args.eval_batches):
+            ebatch = synthetic_linemod_batch(
+                jax.random.fold_in(key, 999999 + j), args.batch_size, db,
+                model_pts, facesj, kp3d, size)
+            out = model.apply({'params': params, 'batch_stats': batch_stats},
+                              batch_inputs(ebatch), train=False)
+            Kc = ebatch['K']
+            if args.mode == 'heatmap':
+                hm = jnp.transpose(out, (0, 3, 1, 2))
+                coords, maxvals = peak_ops.decode_heatmaps(hm)
+                res = pnp_mod.ransac_epnp(
+                    jnp.broadcast_to(kp3d, (args.batch_size,) + kp3d.shape),
+                    coords, Kc, jax.random.PRNGKey(3))
+                R_pred, t_pred = res.R, res.t
+            else:
+                seg, vert = out
+                seg_mask = (jnp.argmax(seg, axis=-1) == 1).astype(jnp.float32)
+                field = vert.reshape(vert.shape[:3] +
+                                     (args.num_keypoints, 2))
+                vres = voting_ops.ransac_voting(seg_mask, field,
+                                                jax.random.PRNGKey(4))
+                # Reference eval path (evaluation.py:471-508): covariance is
+                # estimated AROUND the voting winners with the looser 0.99
+                # threshold (ransac_voting_gpu.py:333-406) and feeds
+                # covariance-weighted PnP.
+                kp_mean, kp_cov = \
+                    voting_ops.estimate_voting_distribution_with_mean(
+                        seg_mask, field, vres.keypoints, jax.random.PRNGKey(6))
+                R_pred, t_pred = pnp_mod.uncertainty_pnp(
+                    jnp.broadcast_to(kp3d, (args.batch_size,) + kp3d.shape),
+                    kp_mean, kp_cov, Kc, jax.random.PRNGKey(5))
+            accs.append(evaluator.pose_accuracy(
+                model_pts, db.get_diameter(args.cls), Kc,
+                R_pred, t_pred, ebatch['R'], ebatch['t'],
+                symmetric=db.is_symmetric(args.cls)))
+        result = {k: float(np.mean([float(a[k]) for a in accs]))
+                  for k in accs[0]}
         events.log('eval', epoch=epoch + 1, **result)
         print(f"  2D-proj {result['projection_2d']:.3f}  "
               f"ADD {result['add']:.3f}  5cm5deg {result['cm_degree_5']:.3f}")
@@ -460,6 +467,9 @@ def main(argv=None):
                     help='pkl dir containing occ/{cls}_real.pkl '
                          '(OCCLUSION_LINEMOD eval, result_show.py:95-98)')
     ap.add_argument('--occ-image-root', default=None)
+    ap.add_argument('--eval-batches', type=int, default=1,
+                    help='synthetic mode: held-out eval batches per epoch '
+                         '(metric granularity 1/(N*batch_size))')
     args = ap.parse_args(argv)
     return train(args)
 
