@@ -213,7 +213,7 @@ def bench_system(shard_path: str | None, n_records: int = 1024,
     }
 
 
-def bench_two_stage(detector_ckpt: str | None) -> dict:
+def bench_two_stage(detector_ckpt: str | None, downscale: int = 4) -> dict:
     """Two-stage program: on-device detector supplies the boxes
     (reference BASELINE config 3), frames staged in HBM."""
     from esa_pose_estimation_tpu.models.detector import TinyDetector
@@ -222,11 +222,12 @@ def bench_two_stage(detector_ckpt: str | None) -> dict:
     pts, frames, _ = _staged_inputs(BATCH)
     variables, pipeline, _ = build_pipeline()
 
+    in_hw = (1200 // downscale, 1920 // downscale)
     # f32 detector: measured faster than bf16 at these shapes (the conv
     # channels are narrow; bf16 adds convert traffic without MXU benefit)
     det = TinyDetector(width=32, stride=16)
     det_vars = jax.jit(det.init, static_argnames=('train',))(
-        jax.random.PRNGKey(1), jnp.zeros((1, 300, 480, 1)), train=False)
+        jax.random.PRNGKey(1), jnp.zeros((1,) + in_hw + (1,)), train=False)
     if detector_ckpt is None and os.path.exists('runs/detector/net_detector'):
         detector_ckpt = 'runs/detector/net_detector'
     if detector_ckpt:
@@ -235,7 +236,7 @@ def bench_two_stage(detector_ckpt: str | None) -> dict:
         from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
         # total_steps>0 matches the driver's schedule-based opt state tree
         st = create_detector_state(det, jax.random.PRNGKey(1), 1e-3,
-                                   (300, 480), total_steps=1000)
+                                   in_hw, total_steps=1000)
         name = ('best_iou' if os.path.exists(
             os.path.join(detector_ckpt, 'best_iou')) else 'last')
         st, _ = CheckpointManager(detector_ckpt).restore(name, st)
@@ -244,7 +245,8 @@ def bench_two_stage(detector_ckpt: str | None) -> dict:
     @jax.jit
     def two_stage(det_vars, variables, frames, points_3d, key):
         bboxes, _ = detect_frames(det, det_vars, frames,
-                                  detector_downscale=4, box_expand=1.1)
+                                  detector_downscale=downscale,
+                                  box_expand=1.1)
         return pipeline(variables, frames, bboxes, points_3d, key)
 
     key_list = list(jax.random.split(jax.random.PRNGKey(0), N_ITERS))
@@ -313,6 +315,9 @@ def main(argv=None):
                          'synthetic shard when absent)')
     ap.add_argument('--shard-records', type=int, default=1024)
     ap.add_argument('--detector-ckpt', default=None)
+    ap.add_argument('--detector-downscale', type=int, default=4,
+                    help='two-stage mode: average-pool factor for the '
+                         'detector input (must match its training)')
     ap.add_argument('--batch', type=int, default=None,
                     help='override the pipeline batch size (default 256)')
     ap.add_argument('--host-crop', action='store_true',
@@ -328,7 +333,7 @@ def main(argv=None):
     elif args.mode == 'voting':
         out = bench_voting()
     elif args.mode == 'two-stage':
-        out = bench_two_stage(args.detector_ckpt)
+        out = bench_two_stage(args.detector_ckpt, args.detector_downscale)
     else:
         out = bench_compute()
     print(json.dumps(out))

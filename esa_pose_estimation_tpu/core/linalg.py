@@ -59,8 +59,17 @@ def cholesky_small(a: jnp.ndarray) -> jnp.ndarray:
     matrices over large batches (the 12x12 EPnP normal-matrix factor over
     a (batch x hypothesis) axis measured 10 ms — a quarter of the whole
     serving pipeline).  Unrolling over the static n turns it into one
-    fused elementwise loop over the batch.  Mirrors the custom call's
-    non-PD semantics: a negative pivot yields NaN via ``sqrt``.
+    fused elementwise loop over the batch.
+
+    Unlike the custom call (where a negative pivot yields NaN via
+    ``sqrt``), pivots are clamped to a tiny positive floor: a singular /
+    slightly-indefinite input yields a garbage-but-FINITE factor instead
+    of NaN-poisoning the whole batch.  Callers that solve near-singular
+    systems (RANSAC hypothesis fits, beta refinement) reject bad
+    solutions by residual, which only works if the solution is finite —
+    f32 rounding of a PSD-but-singular matrix flips pivot signs
+    depending on XLA fusion order (observed jit-vs-eager on the 6-point
+    EPnP normal matrix), so this is a correctness guard, not a nicety.
     """
     n = a.shape[-1]
     col: list[list[jnp.ndarray]] = [[None] * n for _ in range(n)]
@@ -68,7 +77,7 @@ def cholesky_small(a: jnp.ndarray) -> jnp.ndarray:
         s = a[..., j, j]
         for k in range(j):
             s = s - col[j][k] * col[j][k]
-        d = jnp.sqrt(s)
+        d = jnp.sqrt(jnp.maximum(s, 1e-25))
         col[j][j] = d
         inv = 1.0 / d
         for i in range(j + 1, n):

@@ -195,31 +195,115 @@ def _ctrl_distances(ctrl: jnp.ndarray) -> jnp.ndarray:
 
 
 def _refine_betas(betas0: jnp.ndarray, V: jnp.ndarray, dist_w: jnp.ndarray,
-                  iters: int = 4) -> jnp.ndarray:
+                  iters: int = 4) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gauss-Newton on the 4 betas matching camera control-point distances
     to world distances (EPnP 'relinearization').
 
     betas0: (..., 4); V: (..., 4, 12); dist_w: (..., 6).  Unrolled with an
     analytic Jacobian — a short straight-line tensor program instead of
-    jacfwd-in-a-loop.
+    jacfwd-in-a-loop.  Returns (betas, final distance cost (...,)) so a
+    multi-seed caller can rank candidates.
     """
     ia = jnp.array(_PAIR_A)
     ib = jnp.array(_PAIR_B)
     Vc = V.reshape(V.shape[:-1] + (4, 3))          # (..., basis, ctrl, xyz)
     Vd = Vc[..., :, ia, :] - Vc[..., :, ib, :]     # (..., 4, 6, 3)
 
-    betas = betas0
-    eye4 = jnp.eye(4, dtype=betas0.dtype)
-    for _ in range(iters):
-        diff = linalg.einsum('...k,...kpi->...pi', betas, Vd)   # (..., 6, 3)
+    def cost_of(b):
+        diff = linalg.einsum('...k,...kpi->...pi', b, Vd)       # (..., 6, 3)
         dist = jnp.linalg.norm(diff, axis=-1)
         r = dist - dist_w                                       # (..., 6)
+        return diff, dist, r, jnp.sum(r * r, axis=-1)
+
+    betas = betas0
+    _, _, _, cost = cost_of(betas)
+    eye4 = jnp.eye(4, dtype=betas0.dtype)
+    for _ in range(iters):
+        diff, dist, r, _ = cost_of(betas)
         unit = diff / jnp.maximum(dist, 1e-9)[..., None]
         J = linalg.einsum('...pi,...kpi->...pk', unit, Vd)      # (..., 6, 4)
-        H = linalg.einsum('...pk,...pl->...kl', J, J) + 1e-9 * eye4
+        H = linalg.einsum('...pk,...pl->...kl', J, J)
+        # Scale-aware ridge: with few points the 4x4 normal matrix is
+        # rank-deficient and an absolute 1e-9 vanishes under f32 rounding
+        # of O(1) entries — the raw GN step then diverges (|betas| ~ 50
+        # observed on a 6-point far-depth frame).
+        ridge = 1e-6 * jnp.trace(H, axis1=-2, axis2=-1)[..., None, None]
+        H = H + (ridge + 1e-9) * eye4
         g = linalg.einsum('...pk,...p->...k', J, r)
-        betas = betas - linalg.solve_psd(H, g)
-    return betas
+        cand = betas - linalg.solve_psd(H, g)
+        # Monotone accept: reject steps that increase the distance
+        # residual (cv2's EPnP caps beta magnitude instead; a rejected
+        # step keeps the closed-form beta1 seed, which downstream
+        # Procrustes + LM handle fine).
+        _, _, _, new_cost = cost_of(cand)
+        ok = (new_cost < cost)[..., None]
+        betas = jnp.where(ok, cand, betas)
+        cost = jnp.where(ok[..., 0], new_cost, cost)
+    return betas, cost
+
+
+def _beta_seeds(b1: jnp.ndarray, V: jnp.ndarray,
+                dist_w: jnp.ndarray) -> jnp.ndarray:
+    """Candidate beta seeds for the distance Gauss-Newton. -> (..., 4, 4).
+
+    Seed 0 is the closed-form single-basis beta1; seeds 1-3 are the EPnP
+    paper's N=2/3/4 approximations: solve the linearized 6-equation
+    distance system for a restricted set of beta products, then extract
+    betas by square roots (the ``find_betas_approx_{1,2,3}`` family in
+    cv2's EPnP).  The multi-basis seeds are what rescue weak-perspective
+    frames (far depth / few points): there the nullspace of M^T M has
+    near-dimension > 1, the beta1-only reconstruction is meaningless, and
+    gradient refinement from it converges to a severed local minimum
+    (observed: 6-point frame at 25.7 m depth -> 30k px reprojection from
+    seed 0 vs 0.4 px from seed 2).
+    """
+    ia = jnp.array(_PAIR_A)
+    ib = jnp.array(_PAIR_B)
+    Vc = V.reshape(V.shape[:-1] + (4, 3))
+    Vd = Vc[..., :, ia, :] - Vc[..., :, ib, :]            # (..., 4, 6, 3)
+    rho = dist_w * dist_w                                  # (..., 6)
+
+    def dot(k, l):
+        return jnp.sum(Vd[..., k, :, :] * Vd[..., l, :, :], axis=-1)
+
+    def lstsq(cols):
+        """cols: (..., 6, k) -> least-squares solution (..., k)."""
+        k = cols.shape[-1]
+        AtA = linalg.einsum('...pi,...pj->...ij', cols, cols)
+        ridge = 1e-7 * jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None]
+        AtA = AtA + (ridge + 1e-12) * jnp.eye(k, dtype=cols.dtype)
+        Atb = linalg.einsum('...pi,...p->...i', cols, rho)
+        return linalg.solve_psd(AtA, Atb)
+
+    d00, d01, d11 = dot(0, 0), dot(0, 1), dot(1, 1)
+    d02, d03, d12 = dot(0, 2), dot(0, 3), dot(1, 2)
+
+    def sqrt_abs(x):
+        return jnp.sqrt(jnp.abs(x))
+
+    def safe_div(a, b):
+        return a / jnp.where(jnp.abs(b) < 1e-12, 1e-12, b)
+
+    zeros = jnp.zeros_like(b1)
+    # N=2: unknowns [b11, b12, b22]
+    x2 = lstsq(jnp.stack([d00, 2 * d01, d11], axis=-1))
+    s2 = jnp.where(x2[..., 1] < 0, -1.0, 1.0)
+    seed2 = jnp.stack([sqrt_abs(x2[..., 0]), s2 * sqrt_abs(x2[..., 2]),
+                       zeros, zeros], axis=-1)
+    # N=3: unknowns [b11, b12, b22, b13, b23]
+    x3 = lstsq(jnp.stack([d00, 2 * d01, d11, 2 * d02, 2 * d12], axis=-1))
+    b1_3 = sqrt_abs(x3[..., 0])
+    s3 = jnp.where(x3[..., 1] < 0, -1.0, 1.0)
+    seed3 = jnp.stack([b1_3, s3 * sqrt_abs(x3[..., 2]),
+                       safe_div(x3[..., 3], b1_3), zeros], axis=-1)
+    # N=4: unknowns [b11, b12, b13, b14]
+    x4 = lstsq(jnp.stack([d00, 2 * d01, 2 * d02, 2 * d03], axis=-1))
+    b1_4 = sqrt_abs(x4[..., 0])
+    seed4 = jnp.stack([b1_4, safe_div(x4[..., 1], b1_4),
+                       safe_div(x4[..., 2], b1_4),
+                       safe_div(x4[..., 3], b1_4)], axis=-1)
+    seed1 = jnp.stack([b1, zeros, zeros, zeros], axis=-1)
+    return jnp.stack([seed1, seed2, seed3, seed4], axis=-2)
 
 
 class EpnpShared(NamedTuple):
@@ -276,9 +360,12 @@ def epnp_reconstruct(shared: EpnpShared, w: jnp.ndarray,
     b1 = (jnp.sum(dist_c * dist_w, axis=-1)
           / (jnp.sum(dist_c * dist_c, axis=-1) + _EPS))
     if refine_betas:
-        zeros = jnp.zeros_like(b1)
-        betas = jnp.stack([b1, zeros, zeros, zeros], axis=-1)
-        betas = _refine_betas(betas, V, dist_w)
+        seeds = _beta_seeds(b1, V, dist_w)                  # (..., 4, 4)
+        cand, cost = _refine_betas(seeds, V[..., None, :, :],
+                                   dist_w[..., None, :])
+        best = jnp.argmin(cost, axis=-1)
+        betas = jnp.take_along_axis(
+            cand, best[..., None, None], axis=-2)[..., 0, :]
     else:
         betas = b1[..., None]
 

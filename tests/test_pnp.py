@@ -230,6 +230,41 @@ class TestSolvePose:
         assert score_r < 5e-3, score_r
 
 
+class TestFarDepthSixPoints:
+    """Regression: real trained-model frame (held-out synthetic eval,
+    batch 3 frame 27) where only 6 keypoints pass confidence and the
+    target sits at 25.69 m — the weak-perspective regime where M^T M has
+    a near-null subspace of dimension > 1.  The single-seed (closed-form
+    beta1) EPnP produced a divergent beta Gauss-Newton whose 4x4 normal
+    matrix went indefinite under jit-reordered f32 rounding -> NaN pose
+    that poisoned the whole eval batch.  Guards both fixes: pivot-clamped
+    ``cholesky_small`` (finiteness) and multi-seed betas (accuracy)."""
+
+    def test_recovers_far_pose(self):
+        p3 = jnp.asarray(np.load('tests/fixtures/far6_p3.npy'))
+        p2 = jnp.asarray(np.load('tests/fixtures/far6_uncropped.npy'))
+        sel = jnp.asarray(np.load('tests/fixtures/far6_sel.npy'))
+        res = pnp_mod.ransac_epnp(p3, p2, SPEED_K32, jax.random.PRNGKey(0),
+                                  valid=sel, n_hypotheses=64,
+                                  sample_size=6, lm_iters=10)
+        assert bool(jnp.isfinite(res.R).all() & jnp.isfinite(res.t).all())
+        # GT depth 25.69 m; the 2D predictions are accurate, so the pose
+        # must land near it and keep every confident point an inlier.
+        assert abs(float(res.t[2]) - 25.69) < 1.0, np.asarray(res.t)
+        assert int(res.inliers.sum()) == int(sel.sum())
+
+    def test_multi_seed_beats_single_seed(self):
+        # The multi-basis beta seeds (epnp._beta_seeds) must solve the
+        # plain weighted EPnP on this frame to sub-pixel reprojection.
+        p3 = jnp.asarray(np.load('tests/fixtures/far6_p3.npy'))
+        p2 = jnp.asarray(np.load('tests/fixtures/far6_uncropped.npy'))
+        w = jnp.asarray(np.load('tests/fixtures/far6_sel.npy'), jnp.float32)
+        R, t = epnp_mod.epnp(p3, p2, SPEED_K32, weights=w)
+        errs = epnp_mod.reprojection_errors(p3, p2, R, t, SPEED_K32)
+        mean_err = float(jnp.sum(w * errs) / jnp.sum(w))
+        assert mean_err < 1.0, mean_err
+
+
 @pytest.fixture(scope='session', autouse=True)
 def _make_fixture(tmp_path_factory):
     """Materialize the reference pnp.py:98-155 fixture once."""
