@@ -119,9 +119,17 @@ def main(argv=None):
     scores = np.concatenate(all_scores)[:args.frames]
     depths = np.concatenate(depths)[:args.frames]
 
+    # Safety net: a non-finite pose (solver divergence) must show up as a
+    # reported count, not silently poison every aggregate statistic.
+    finite = np.isfinite(scores)
+    n_nonfinite = int((~finite).sum())
+    if finite.any():
+        scores, depths = scores[finite], depths[finite]
+
     ref = 0.0193
     out = {
         'frames': int(len(scores)),
+        'nonfinite_frames': n_nonfinite,
         'median': round(float(np.median(scores)), 4),
         'p90': round(float(np.percentile(scores, 90)), 4),
         'mean': round(float(scores.mean()), 4),

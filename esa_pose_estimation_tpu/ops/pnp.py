@@ -328,8 +328,13 @@ def ransac_epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
 
     # Control frame / barycentric coords / per-point M^T M contributions are
     # shared across hypotheses; each hypothesis is one masked contraction +
-    # eigh + Procrustes.  Hypotheses skip the beta Gauss-Newton — closed-form
-    # EPnP classifies inliers fine and the final LM refit recovers precision.
+    # eigh + Procrustes.  Hypotheses skip the multi-seed beta Gauss-Newton
+    # (closed-form beta1 only): under normal perspective that classifies
+    # inliers fine at a fraction of the cost.  In the weak-perspective
+    # regime (far depth) beta1-only hypotheses all degenerate and find no
+    # inliers — then `enough` below falls back to an all-valid refit whose
+    # refine_betas=True path runs the full multi-seed solve, which recovers
+    # such frames (see tests/test_pnp.py::TestFarDepthSixPoints).
     shared = epnp_precompute(points_3d, points_2d, K)
     shared_h = EpnpShared(
         points_3d=shared.points_3d[..., None, :, :],
