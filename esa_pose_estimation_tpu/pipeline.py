@@ -50,7 +50,8 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
                 sample_size: int = 6,
                 lm_iters: int = 10,
                 norm_mean: float = 0.449,
-                norm_std: float = 0.229) -> PoseOutput:
+                norm_std: float = 0.229,
+                disambiguate: bool = True) -> PoseOutput:
     """Batched frames + detector boxes -> poses.  Fully jittable.
 
     frames: (B, H, W) grayscale [0, 255]; bboxes: (B, 4) [x1, y1, x2, y2];
@@ -84,8 +85,12 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
     enough = (keep.sum(axis=-1) >= 4)[..., None]
     keep = jnp.where(enough, keep, sel)
     w = jnp.where(keep, maxvals, 0.0)
-    R, t = pnp_mod.lm_refine(p3, uncropped, w, K, init.R, init.t,
-                             iters=lm_iters)
+    # `disambiguate` also refines the weak-perspective mirror pose and
+    # keeps the lower-cost one — rescues ~90-degree rotation flips on
+    # far-depth frames (see ops/pnp.lm_refine_dual) for one extra
+    # batched LM problem per frame.
+    refine = pnp_mod.lm_refine_dual if disambiguate else pnp_mod.lm_refine
+    R, t = refine(p3, uncropped, w, K, init.R, init.t, iters=lm_iters)
     return PoseOutput(quat=rotmat_to_quat(R), trans=t, R=R,
                       keypoints_2d=uncropped, confidences=maxvals,
                       selected=sel)

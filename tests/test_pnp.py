@@ -265,6 +265,55 @@ class TestFarDepthSixPoints:
         assert mean_err < 1.0, mean_err
 
 
+class TestMirrorDisambiguation:
+    """Regression: trained-model eval frame at 25.1 m whose RANSAC+LM
+    pose converges to the weak-perspective mirror (~90-degree rotation
+    flip, translation near-perfect) despite 23 confident keypoints.
+    ``lm_refine_dual`` must pick the true interpretation."""
+
+    def _load(self):
+        d = np.load('tests/fixtures/mirror_flip.npz')
+        from esa_pose_estimation_tpu.data import synthetic
+        p3 = synthetic.spacecraft_points(30)
+        return (p3, jnp.asarray(d['p2']), jnp.asarray(d['sel']),
+                jnp.asarray(d['conf']), d['Rgt'], d['tgt'])
+
+    @staticmethod
+    def _angle_deg(Ra, Rb):
+        c = (np.trace(np.asarray(Ra) @ np.asarray(Rb).T) - 1) / 2
+        return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
+
+    def test_dual_refine_recovers_true_rotation(self):
+        p3, p2, sel, conf, Rgt, tgt = self._load()
+        init = pnp_mod.ransac_epnp(p3, p2, SPEED_K32, jax.random.PRNGKey(0),
+                                   valid=sel, n_hypotheses=32,
+                                   sample_size=6, lm_iters=10)
+        keep = init.inliers & sel
+        w = jnp.where(keep, conf, 0.0)
+        # single refine stays on the mirror branch...
+        R1, _ = pnp_mod.lm_refine(p3, p2, w, SPEED_K32, init.R, init.t,
+                                  iters=10)
+        assert self._angle_deg(R1, Rgt) > 45.0
+        # ...dual refine escapes it.
+        R2, t2 = pnp_mod.lm_refine_dual(p3, p2, w, SPEED_K32,
+                                        init.R, init.t, iters=10)
+        assert self._angle_deg(R2, Rgt) < 5.0, self._angle_deg(R2, Rgt)
+        assert float(jnp.linalg.norm(t2 - tgt)) < 0.1
+
+    def test_mirror_pose_is_distinct_but_close_in_image(self):
+        # The mirror of a far-depth pose must reproject nearly as well
+        # (that is what makes the ambiguity real) while differing by a
+        # large rotation.
+        p3, p2, sel, conf, Rgt, tgt = self._load()
+        w = sel.astype(jnp.float32)
+        Rm, tm = pnp_mod.mirror_pose(p3, jnp.asarray(Rgt),
+                                     jnp.asarray(tgt), w)
+        assert self._angle_deg(Rm, Rgt) > 45.0
+        errs = epnp_mod.reprojection_errors(p3, p2, Rm, tm, SPEED_K32)
+        mean_err = float(jnp.sum(w * errs) / jnp.sum(w))
+        assert mean_err < 10.0, mean_err
+
+
 @pytest.fixture(scope='session', autouse=True)
 def _make_fixture(tmp_path_factory):
     """Materialize the reference pnp.py:98-155 fixture once."""
