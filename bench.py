@@ -213,19 +213,30 @@ def bench_system(shard_path: str | None, n_records: int = 1024,
     }
 
 
-def bench_two_stage(detector_ckpt: str | None, downscale: int = 4) -> dict:
+def bench_two_stage(detector_ckpt: str | None,
+                    downscale: int | None = None) -> dict:
     """Two-stage program: on-device detector supplies the boxes
     (reference BASELINE config 3), frames staged in HBM."""
-    from esa_pose_estimation_tpu.models.detector import TinyDetector
+    from esa_pose_estimation_tpu.models.detector import (
+        TinyDetector,
+        load_detector_config,
+    )
     from esa_pose_estimation_tpu.pipeline import detect_frames
 
     pts, frames, _ = _staged_inputs(BATCH)
     variables, pipeline, _ = build_pipeline()
 
+    # Geometry comes from the detector.json sidecar written at training
+    # time (the weights only work at their trained input scale); an
+    # explicit --detector-downscale overrides, 4 is the legacy fallback.
+    ckpt_dir = detector_ckpt or 'runs/detector/net_detector'
+    dcfg = load_detector_config(os.path.dirname(ckpt_dir)) or {}
+    downscale = downscale or dcfg.get('downscale', 4)
     in_hw = (1200 // downscale, 1920 // downscale)
     # f32 detector: measured faster than bf16 at these shapes (the conv
     # channels are narrow; bf16 adds convert traffic without MXU benefit)
-    det = TinyDetector(width=32, stride=16)
+    det = TinyDetector(width=dcfg.get('width_ch', 32),
+                       stride=dcfg.get('stride', 16))
     det_vars = jax.jit(det.init, static_argnames=('train',))(
         jax.random.PRNGKey(1), jnp.zeros((1,) + in_hw + (1,)), train=False)
     if detector_ckpt is None and os.path.exists('runs/detector/net_detector'):
@@ -315,9 +326,10 @@ def main(argv=None):
                          'synthetic shard when absent)')
     ap.add_argument('--shard-records', type=int, default=1024)
     ap.add_argument('--detector-ckpt', default=None)
-    ap.add_argument('--detector-downscale', type=int, default=4,
+    ap.add_argument('--detector-downscale', type=int, default=None,
                     help='two-stage mode: average-pool factor for the '
-                         'detector input (must match its training)')
+                         'detector input; defaults to the detector.json '
+                         'sidecar from its training run (4 if neither)')
     ap.add_argument('--batch', type=int, default=None,
                     help='override the pipeline batch size (default 256)')
     ap.add_argument('--host-crop', action='store_true',

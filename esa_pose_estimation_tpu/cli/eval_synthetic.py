@@ -33,9 +33,10 @@ def main(argv=None):
     ap.add_argument('--detector-workdir', default=None,
                     help='score the two-stage pipeline: boxes come from '
                          'this trained detector instead of ground truth')
-    ap.add_argument('--detector-downscale', type=int, default=4,
-                    help='average-pool factor for the detector input '
-                         '(must match its training)')
+    ap.add_argument('--detector-downscale', type=int, default=None,
+                    help='average-pool factor for the detector input; '
+                         'defaults to the detector.json sidecar written '
+                         'by its training run (4 if neither is given)')
     ap.add_argument('--tiny', action='store_true',
                     help='tiny model topology (must match a --tiny '
                          'training run)')
@@ -71,11 +72,16 @@ def main(argv=None):
         from esa_pose_estimation_tpu.cli.train_detector import (
             create_detector_state,
         )
-        from esa_pose_estimation_tpu.models.detector import TinyDetector
+        from esa_pose_estimation_tpu.models.detector import (
+            TinyDetector,
+            load_detector_config,
+        )
         from esa_pose_estimation_tpu.pipeline import detect_frames
 
-        ds = args.detector_downscale
-        det = TinyDetector(width=32, stride=16)
+        dcfg = load_detector_config(args.detector_workdir) or {}
+        ds = args.detector_downscale or dcfg.get('downscale', 4)
+        det = TinyDetector(width=dcfg.get('width_ch', 32),
+                           stride=dcfg.get('stride', 16))
         dst = create_detector_state(det, jax.random.PRNGKey(1), 1e-3,
                                     (1200 // ds, 1920 // ds),
                                     total_steps=1000)

@@ -111,6 +111,12 @@ def evaluate_detector(model, variables, points_3d, key, n_batches: int,
 def train(args) -> dict:
     os.makedirs(args.workdir, exist_ok=True)
     model = det_mod.TinyDetector(width=args.width_ch, stride=args.stride)
+    # Record the input geometry the weights are trained for; consumers
+    # (eval_synthetic, bench --mode two-stage) read this back so the
+    # downscale factor cannot silently mismatch.
+    det_mod.save_detector_config(
+        args.workdir, downscale=args.downscale, stride=args.stride,
+        width_ch=args.width_ch, height=args.height, width=args.width)
     points_3d = synthetic.spacecraft_points(args.num_keypoints)
     in_hw = (args.height // args.downscale, args.width // args.downscale)
     state = create_detector_state(model, jax.random.PRNGKey(args.seed),

@@ -158,3 +158,33 @@ def detection_loss(outputs: dict[str, jnp.ndarray],
     size_loss = (jnp.abs(outputs['size'] - targets['size']) * cm).sum() \
         / jnp.maximum(cm.sum(), 1.0)
     return heat_loss + reg_loss + 0.1 * size_loss
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-sidecar config
+# ---------------------------------------------------------------------------
+
+def save_detector_config(workdir: str, **cfg) -> None:
+    """Write ``detector.json`` next to the checkpoint directory.
+
+    The detector's downscale/stride/width are baked into its weights (a
+    downscale-8 detector decodes garbage on downscale-4 inputs), so the
+    training driver records them and the consumers (eval CLI, bench
+    two-stage mode) read them back instead of trusting a flag to match.
+    """
+    import json
+    import os
+    with open(os.path.join(workdir, 'detector.json'), 'w') as f:
+        json.dump(cfg, f, indent=1)
+
+
+def load_detector_config(workdir: str) -> dict | None:
+    """Read ``detector.json`` from a detector workdir; None if absent
+    (pre-sidecar checkpoints fall back to caller defaults)."""
+    import json
+    import os
+    path = os.path.join(workdir, 'detector.json')
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)

@@ -97,6 +97,12 @@ class TestDetector:
                        '--eval-batches', '2'])
         assert res['mean_iou'] > 0.4, res
 
+        # the trainer must record the input geometry its weights assume
+        # (consumers read this back instead of trusting a flag to match)
+        cfg = det.load_detector_config(str(tmp_path))
+        assert cfg == {'downscale': ds, 'stride': 16, 'width_ch': 8,
+                       'height': h, 'width': w}, cfg
+
         # rebuild the trained detector from its checkpoint
         model = det.TinyDetector(width=8, stride=16)
         # the restore template must match the trained optimizer structure
