@@ -335,10 +335,30 @@ def main(argv=None):
     ap.add_argument('--host-crop', action='store_true',
                     help='system mode: crop+resize on the C++ loader '
                          'threads (65 KB/img H2D instead of 2.3 MB)')
+    ap.add_argument('--device-deadline', type=float, default=900.0,
+                    help='seconds to wait for the default backend before '
+                         'reporting an error line instead of hanging '
+                         '(the axon TPU tunnel can be down)')
     args = ap.parse_args(argv)
     if args.batch:
         global BATCH
         BATCH = args.batch
+
+    # The axon tunnel makes jax.devices() HANG (not raise) when its link
+    # is down; probe out-of-process first so a dead tunnel yields an
+    # honest error record rather than a wedged benchmark process.
+    from esa_pose_estimation_tpu.utils.device_probe import (
+        await_default_backend)
+    if await_default_backend(args.device_deadline) is None:
+        print(json.dumps({
+            'metric': f'benchmark unavailable (--mode {args.mode})',
+            'value': 0.0,
+            'unit': 'img/s',
+            'vs_baseline': 0.0,
+            'error': 'default JAX backend (axon TPU tunnel) unreachable '
+                     f'after {args.device_deadline:.0f}s of retries',
+        }))
+        return
     if args.mode == 'system':
         out = bench_system(args.shard, args.shard_records,
                            host_crop=args.host_crop)
