@@ -61,8 +61,7 @@ def build_pipeline():
     def tail(variables, crops, rates, origins, points_3d, key):
         x = crop_ops.normalize(crops)[..., None]
         hm = model.apply(variables, x, train=False)          # (B,128,128,30)
-        hm = jnp.transpose(hm, (0, 3, 1, 2))                 # (B,30,128,128)
-        coords, maxvals = peak_ops.decode_heatmaps_auto(hm)
+        coords, maxvals = peak_ops.decode_heatmaps_auto_nhwc(hm)
         sel = peak_ops.select_confident(maxvals, 0.6, min_count=24)
         uncropped = coords / rates[:, None, None] + \
             origins[:, None, :].astype(jnp.float32)
@@ -335,6 +334,10 @@ def main(argv=None):
     ap.add_argument('--host-crop', action='store_true',
                     help='system mode: crop+resize on the C++ loader '
                          'threads (65 KB/img H2D instead of 2.3 MB)')
+    ap.add_argument('--nhwc-decode', choices=['auto', 'on', 'off'],
+                    default='auto',
+                    help='force the channels-last decode path (on) or the '
+                         'transpose+Pallas path (off) in the serving tail')
     ap.add_argument('--device-deadline', type=float, default=900.0,
                     help='seconds to wait for the default backend before '
                          'reporting an error line instead of hanging '
@@ -343,6 +346,9 @@ def main(argv=None):
     if args.batch:
         global BATCH
         BATCH = args.batch
+    if args.nhwc_decode != 'auto':
+        from esa_pose_estimation_tpu.ops import peak as _peak
+        _peak.NHWC_DECODE = args.nhwc_decode == 'on'
 
     # The axon tunnel makes jax.devices() HANG (not raise) when its link
     # is down; probe out-of-process first so a dead tunnel yields an

@@ -110,6 +110,92 @@ def decode_heatmaps_auto(heatmaps: jnp.ndarray
     return decode_heatmaps(heatmaps)
 
 
+def argmax_peaks_nhwc(heatmaps: jnp.ndarray
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Channels-last argmax peaks: (..., H, W, K) -> ((..., K, 2), (..., K)).
+
+    Same row-major flat-argmax semantics as :func:`argmax_peaks`, but the
+    reduction runs over the sublane (H*W) axis with K in the vector lanes —
+    no layout transpose of the model's NHWC output needed.
+    """
+    h, w, k = heatmaps.shape[-3:]
+    flat = heatmaps.reshape(heatmaps.shape[:-3] + (h * w, k))
+    idx = jnp.argmax(flat, axis=-2)
+    maxvals = jnp.max(flat, axis=-2)
+    x = (idx % w).astype(jnp.float32)
+    y = (idx // w).astype(jnp.float32)
+    return jnp.stack([x, y], axis=-1), maxvals
+
+
+def taylor_refine_nhwc(heatmaps: jnp.ndarray, coords: jnp.ndarray,
+                       eps: float = 1e-10) -> jnp.ndarray:
+    """Log-Taylor refinement on channels-last maps (semantics of
+    :func:`taylor_refine`, layout of the model output).
+
+    heatmaps: (..., H, W, K); coords: (..., K, 2) float (x, y).
+    """
+    h, w, k = heatmaps.shape[-3:]
+    log_hm = jnp.log(jnp.maximum(heatmaps, eps))
+    flat = log_hm.reshape(log_hm.shape[:-3] + (h * w, k))
+    px = coords[..., 0].astype(jnp.int32)
+    py = coords[..., 1].astype(jnp.int32)
+
+    def g(dy, dx):
+        yy = jnp.clip(py + dy, 0, h - 1)
+        xx = jnp.clip(px + dx, 0, w - 1)
+        return jnp.take_along_axis(flat, (yy * w + xx)[..., None, :],
+                                   axis=-2)[..., 0, :]
+
+    c = g(0, 0)
+    hx = 0.5 * (g(0, 1) - g(0, -1))
+    hy = 0.5 * (g(1, 0) - g(-1, 0))
+    hxx = 0.25 * (g(0, 2) - 2.0 * c + g(0, -2))
+    hyy = 0.25 * (g(2, 0) - 2.0 * c + g(-2, 0))
+
+    interior = ((px > 1) & (px < w - 2) & (py > 1) & (py < h - 2))
+    nonzero = (hxx != 0.0) & (hyy != 0.0)
+    safe_hxx = jnp.where(hxx == 0.0, 1.0, hxx)
+    safe_hyy = jnp.where(hyy == 0.0, 1.0, hyy)
+    off_x = -hx / safe_hxx
+    off_y = -hy / safe_hyy
+    in_range = (off_x < 1.0) & (off_y < 1.0)
+    apply = interior & nonzero & in_range
+    offset = jnp.stack([off_x, off_y], axis=-1)
+    return coords + jnp.where(apply[..., None], offset, 0.0)
+
+
+# Decode dispatch for channels-last model output.  None = measure-backed
+# policy (currently: transpose + NCHW Pallas kernel on TPU — flip after
+# benchmarking the gather-based NHWC path against the 2.3 ms/step of
+# layout copies it avoids); True/False force the NHWC/transpose path.
+NHWC_DECODE: bool | None = None
+
+
+def decode_heatmaps_nhwc(heatmaps: jnp.ndarray
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused argmax + log-Taylor decode on (..., H, W, K) maps."""
+    coords, maxvals = argmax_peaks_nhwc(heatmaps)
+    return taylor_refine_nhwc(heatmaps, coords), maxvals
+
+
+def decode_heatmaps_auto_nhwc(heatmaps: jnp.ndarray
+                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode channels-last model output, choosing the layout strategy.
+
+    The serving tail receives NHWC maps straight from the conv head; the
+    two candidate programs are (a) transpose to NCHW + the Pallas/row
+    decode, (b) the native NHWC reduce+gather decode above.  ``NHWC_DECODE``
+    picks (module-level so tests and the bench can force either).
+    """
+    use_nhwc = NHWC_DECODE
+    if use_nhwc is None:
+        use_nhwc = False
+    if use_nhwc:
+        return decode_heatmaps_nhwc(heatmaps)
+    nchw = jnp.moveaxis(heatmaps, -1, -3)
+    return decode_heatmaps_auto(nchw)
+
+
 def gaussian_modulate(heatmaps: jnp.ndarray, kernel: int = 11) -> jnp.ndarray:
     """Max-preserving Gaussian blur (vectorized ``gaussian_blur``,
     reference inference.py:96-110).

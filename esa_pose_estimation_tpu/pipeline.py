@@ -65,8 +65,7 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
     crops, rates, origins = crop_ops.crop_resize(frames, bboxes, crop_size)
     x = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]
     hm = model.apply(variables, x, train=False)           # (B, S, S, K)
-    hm = jnp.transpose(hm, (0, 3, 1, 2))                  # (B, K, S, S)
-    coords, maxvals = peak_ops.decode_heatmaps_auto(hm)
+    coords, maxvals = peak_ops.decode_heatmaps_auto_nhwc(hm)
     sel = peak_ops.select_confident(maxvals, conf_threshold,
                                     min_count=min_keypoints)
     uncropped = (coords / rates[:, None, None]

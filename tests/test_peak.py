@@ -96,3 +96,48 @@ class TestSelectConfident:
         mv[:5] = 0.95
         mask = np.asarray(peak.select_confident(jnp.asarray(mv), 0.8, 24))
         assert mask.sum() == 24 and mask[:5].all()
+
+
+class TestNHWCDecode:
+    """The channels-last decode must match the NCHW path bit-for-bit —
+    it is the same math with K moved into the vector lanes."""
+
+    def _random_maps(self, seed, b=3, k=7, h=40, w=56):
+        rng = np.random.default_rng(seed)
+        # smooth-ish positive maps with distinct peaks + some exact ties
+        hm = rng.uniform(size=(b, h, w, k)).astype(np.float32)
+        hm[0, 5, 5, 0] = 2.0          # interior peak
+        hm[0, 0, 0, 1] = 2.0          # border peak (offset must be gated)
+        hm[1, 2, 2, 2] = 2.0          # near-border (px=2 is interior edge)
+        return hm
+
+    def test_matches_nchw_decode(self):
+        hm = self._random_maps(1)
+        nchw = np.moveaxis(hm, -1, 1)
+        c_ref, m_ref = peak.decode_heatmaps(jnp.asarray(nchw))
+        c_new, m_new = peak.decode_heatmaps_nhwc(jnp.asarray(hm))
+        np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_new))
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_new))
+
+    def test_auto_nhwc_dispatch(self):
+        hm = self._random_maps(2)
+        nchw = np.moveaxis(hm, -1, 1)
+        c_ref, m_ref = peak.decode_heatmaps(jnp.asarray(nchw))
+        old = peak.NHWC_DECODE
+        try:
+            for forced in (True, False):
+                peak.NHWC_DECODE = forced
+                c, m = peak.decode_heatmaps_auto_nhwc(jnp.asarray(hm))
+                np.testing.assert_array_equal(np.asarray(m_ref),
+                                              np.asarray(m))
+                np.testing.assert_allclose(np.asarray(c_ref), np.asarray(c),
+                                           atol=1e-6)
+        finally:
+            peak.NHWC_DECODE = old
+
+    def test_flat_map_all_ties(self):
+        hm = np.ones((1, 8, 8, 3), np.float32)
+        c_n, m_n = peak.decode_heatmaps_nhwc(jnp.asarray(hm))
+        c_o, m_o = peak.decode_heatmaps(jnp.asarray(np.moveaxis(hm, -1, 1)))
+        np.testing.assert_array_equal(np.asarray(c_n), np.asarray(c_o))
+        np.testing.assert_array_equal(np.asarray(m_n), np.asarray(m_o))
