@@ -355,7 +355,9 @@ def main(argv=None):
     # honest error record rather than a wedged benchmark process.
     from esa_pose_estimation_tpu.utils.device_probe import (
         await_default_backend)
-    if await_default_backend(args.device_deadline) is None:
+    if await_default_backend(
+            args.device_deadline,
+            probe_timeout_s=min(60.0, args.device_deadline)) is None:
         print(json.dumps({
             'metric': f'benchmark unavailable (--mode {args.mode})',
             'value': 0.0,

@@ -29,7 +29,10 @@ def argmax_peaks(heatmaps: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     heatmaps: (..., H, W).  Returns (coords (..., 2) float32 as (x, y),
     maxvals (...,)).  Matches get_max_preds (inference.py:22-51) / the
     torch.max pair at demo.py:173-186 (row-major flat argmax: x = idx % W).
+    Computes in float32 regardless of input dtype (parity with the Pallas
+    kernel, which upcasts; keeps bf16 serving tails threshold-stable).
     """
+    heatmaps = heatmaps.astype(jnp.float32)
     h, w = heatmaps.shape[-2], heatmaps.shape[-1]
     flat = heatmaps.reshape(heatmaps.shape[:-2] + (h * w,))
     idx = jnp.argmax(flat, axis=-1)
@@ -52,22 +55,14 @@ def _gather_log(flat_log: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray,
                                axis=-1)[..., 0]
 
 
-def taylor_refine(heatmaps: jnp.ndarray, coords: jnp.ndarray,
-                  eps: float = 1e-10) -> jnp.ndarray:
-    """Log-Taylor sub-pixel refinement (vectorized ``my_taylor``).
+def _taylor_offset(g, px: jnp.ndarray, py: jnp.ndarray, h: int, w: int
+                   ) -> jnp.ndarray:
+    """Shared my_taylor stencil: 5-point log-derivatives + gating.
 
-    heatmaps: (..., H, W); coords: (..., 2) float (x, y) at integer peaks.
-    Returns refined coords (..., 2).
+    ``g(dy, dx)`` gathers the log-heatmap at (py+dy, px+dx) — the only
+    thing that differs between the NCHW and NHWC layouts.  Returns the
+    gated (..., 2) subpixel offset to add to the integer peak.
     """
-    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
-    log_hm = jnp.log(jnp.maximum(heatmaps, eps))
-    flat = log_hm.reshape(log_hm.shape[:-2] + (h * w,))
-    px = coords[..., 0].astype(jnp.int32)
-    py = coords[..., 1].astype(jnp.int32)
-
-    def g(dy, dx):
-        return _gather_log(flat, py, px, dy, dx, h, w)
-
     c = g(0, 0)
     hx = 0.5 * (g(0, 1) - g(0, -1))
     hy = 0.5 * (g(1, 0) - g(-1, 0))
@@ -84,7 +79,27 @@ def taylor_refine(heatmaps: jnp.ndarray, coords: jnp.ndarray,
     in_range = (off_x < 1.0) & (off_y < 1.0)
     apply = interior & nonzero & in_range
     offset = jnp.stack([off_x, off_y], axis=-1)
-    return coords + jnp.where(apply[..., None], offset, 0.0)
+    return jnp.where(apply[..., None], offset, 0.0)
+
+
+def taylor_refine(heatmaps: jnp.ndarray, coords: jnp.ndarray,
+                  eps: float = 1e-10) -> jnp.ndarray:
+    """Log-Taylor sub-pixel refinement (vectorized ``my_taylor``).
+
+    heatmaps: (..., H, W); coords: (..., 2) float (x, y) at integer peaks.
+    Returns refined coords (..., 2).  Runs in float32 (see argmax_peaks).
+    """
+    heatmaps = heatmaps.astype(jnp.float32)
+    h, w = heatmaps.shape[-2], heatmaps.shape[-1]
+    log_hm = jnp.log(jnp.maximum(heatmaps, eps))
+    flat = log_hm.reshape(log_hm.shape[:-2] + (h * w,))
+    px = coords[..., 0].astype(jnp.int32)
+    py = coords[..., 1].astype(jnp.int32)
+
+    def g(dy, dx):
+        return _gather_log(flat, py, px, dy, dx, h, w)
+
+    return coords + _taylor_offset(g, px, py, h, w)
 
 
 def decode_heatmaps(heatmaps: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -116,8 +131,11 @@ def argmax_peaks_nhwc(heatmaps: jnp.ndarray
 
     Same row-major flat-argmax semantics as :func:`argmax_peaks`, but the
     reduction runs over the sublane (H*W) axis with K in the vector lanes —
-    no layout transpose of the model's NHWC output needed.
+    no layout transpose of the model's NHWC output needed.  Upcasts to
+    float32 first (like the Pallas kernel) so a bf16 serving tail gets
+    identical maxvals/coords from either dispatch arm.
     """
+    heatmaps = heatmaps.astype(jnp.float32)
     h, w, k = heatmaps.shape[-3:]
     flat = heatmaps.reshape(heatmaps.shape[:-3] + (h * w, k))
     idx = jnp.argmax(flat, axis=-2)
@@ -132,8 +150,10 @@ def taylor_refine_nhwc(heatmaps: jnp.ndarray, coords: jnp.ndarray,
     """Log-Taylor refinement on channels-last maps (semantics of
     :func:`taylor_refine`, layout of the model output).
 
-    heatmaps: (..., H, W, K); coords: (..., K, 2) float (x, y).
+    heatmaps: (..., H, W, K); coords: (..., K, 2) float (x, y).  Runs in
+    float32 regardless of input dtype (parity with the Pallas kernel).
     """
+    heatmaps = heatmaps.astype(jnp.float32)
     h, w, k = heatmaps.shape[-3:]
     log_hm = jnp.log(jnp.maximum(heatmaps, eps))
     flat = log_hm.reshape(log_hm.shape[:-3] + (h * w, k))
@@ -146,29 +166,14 @@ def taylor_refine_nhwc(heatmaps: jnp.ndarray, coords: jnp.ndarray,
         return jnp.take_along_axis(flat, (yy * w + xx)[..., None, :],
                                    axis=-2)[..., 0, :]
 
-    c = g(0, 0)
-    hx = 0.5 * (g(0, 1) - g(0, -1))
-    hy = 0.5 * (g(1, 0) - g(-1, 0))
-    hxx = 0.25 * (g(0, 2) - 2.0 * c + g(0, -2))
-    hyy = 0.25 * (g(2, 0) - 2.0 * c + g(-2, 0))
-
-    interior = ((px > 1) & (px < w - 2) & (py > 1) & (py < h - 2))
-    nonzero = (hxx != 0.0) & (hyy != 0.0)
-    safe_hxx = jnp.where(hxx == 0.0, 1.0, hxx)
-    safe_hyy = jnp.where(hyy == 0.0, 1.0, hyy)
-    off_x = -hx / safe_hxx
-    off_y = -hy / safe_hyy
-    in_range = (off_x < 1.0) & (off_y < 1.0)
-    apply = interior & nonzero & in_range
-    offset = jnp.stack([off_x, off_y], axis=-1)
-    return coords + jnp.where(apply[..., None], offset, 0.0)
+    return coords + _taylor_offset(g, px, py, h, w)
 
 
-# Decode dispatch for channels-last model output.  None = measure-backed
-# policy (currently: transpose + NCHW Pallas kernel on TPU — flip after
-# benchmarking the gather-based NHWC path against the 2.3 ms/step of
-# layout copies it avoids); True/False force the NHWC/transpose path.
-NHWC_DECODE: bool | None = None
+# Decode dispatch for channels-last model output: True = the gather-based
+# NHWC path below, False = transpose + NCHW Pallas kernel on TPU.  Default
+# False until the NHWC path is benchmarked against the ~2.3 ms/step of
+# layout copies it avoids (bench.py --nhwc-decode).
+NHWC_DECODE: bool = False
 
 
 def decode_heatmaps_nhwc(heatmaps: jnp.ndarray
@@ -187,10 +192,7 @@ def decode_heatmaps_auto_nhwc(heatmaps: jnp.ndarray
     decode, (b) the native NHWC reduce+gather decode above.  ``NHWC_DECODE``
     picks (module-level so tests and the bench can force either).
     """
-    use_nhwc = NHWC_DECODE
-    if use_nhwc is None:
-        use_nhwc = False
-    if use_nhwc:
+    if NHWC_DECODE:
         return decode_heatmaps_nhwc(heatmaps)
     nchw = jnp.moveaxis(heatmaps, -1, -3)
     return decode_heatmaps_auto(nchw)

@@ -48,11 +48,18 @@ def default_backend_device_count(timeout_s: float = 60.0) -> int | None:
     except (OSError, ValueError):
         return None
     finally:
-        if proc.poll() is None:
-            try:
-                os.killpg(proc.pid, signal.SIGKILL)
-            except OSError:
-                pass
+        # Always sweep the probe's process group: the plugin's helper
+        # processes can outlive a child that exited on its own (they are
+        # the reason for the new session), and a killed child must be
+        # reaped or it lingers as a zombie.
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except OSError:
+            pass
+        try:
+            proc.wait(timeout=5)
+        except Exception:
+            pass
         try:
             os.unlink(out_path)
         except OSError:

@@ -141,3 +141,16 @@ class TestNHWCDecode:
         c_o, m_o = peak.decode_heatmaps(jnp.asarray(np.moveaxis(hm, -1, 1)))
         np.testing.assert_array_equal(np.asarray(c_n), np.asarray(c_o))
         np.testing.assert_array_equal(np.asarray(m_n), np.asarray(m_o))
+
+    def test_bf16_input_decodes_in_f32(self):
+        # A bf16 serving tail must get f32-grade decode from EVERY arm
+        # (the Pallas kernel upcasts; the XLA paths must match).
+        hm = self._random_maps(3).astype(jnp.bfloat16)
+        f32 = np.asarray(hm, np.float32)
+        c_ref, m_ref = peak.decode_heatmaps(jnp.asarray(np.moveaxis(f32, -1, 1)))
+        c_n, m_n = peak.decode_heatmaps_nhwc(hm)
+        c_o, m_o = peak.decode_heatmaps(jnp.moveaxis(hm, -1, 1))
+        assert m_n.dtype == jnp.float32 and m_o.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_n))
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_o))
+        np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_n))
