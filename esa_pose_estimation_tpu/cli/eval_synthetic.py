@@ -12,13 +12,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('EPT_COMPILE_CACHE',
+                                 os.path.expanduser('~/.ept_jax_cache')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
@@ -117,22 +120,38 @@ def main(argv=None):
         depths.append(np.asarray(batch['trans'])[:, 2])
         # Per-keypoint pixel error over the confidence-selected peaks
         # (reference "Gaiss" stat, demo.py:328-339 / main.log:6434).
+        # Truncate the last batch to --frames so this statistic covers
+        # exactly the same frame set as every other aggregate.
+        take = min(args.batch_size, args.frames - i * args.batch_size)
         err = np.linalg.norm(np.asarray(out.keypoints_2d) -
                              np.asarray(batch['keypoints_2d']), axis=-1)
         m = np.asarray(out.selected)
-        pix_err_sum += float((err * m).sum())
-        pix_err_n += int(m.sum())
+        pix_err_sum += float((err * m)[:take].sum())
+        pix_err_n += int(m[:take].sum())
     scores = np.concatenate(all_scores)[:args.frames]
     depths = np.concatenate(depths)[:args.frames]
 
     # Safety net: a non-finite pose (solver divergence) must show up as a
-    # reported count, not silently poison every aggregate statistic.
+    # reported count, not silently poison every aggregate statistic —
+    # filter unconditionally; all-nonfinite yields an explicit null
+    # report (NaN/Infinity tokens would make the line invalid JSON).
     finite = np.isfinite(scores)
     n_nonfinite = int((~finite).sum())
-    if finite.any():
-        scores, depths = scores[finite], depths[finite]
+    scores, depths = scores[finite], depths[finite]
 
     ref = 0.0193
+    if scores.size == 0:
+        out = {
+            'frames': 0,
+            'nonfinite_frames': n_nonfinite,
+            'median': None, 'p90': None, 'mean': None,
+            'beat_reference_frac': None, 'worst': None,
+            'worst_depth_m': None,
+            'pix_err_px': round(pix_err_sum / max(pix_err_n, 1), 3),
+            'error': 'every frame produced a non-finite pose',
+        }
+        print(json.dumps(out))
+        return out
     out = {
         'frames': int(len(scores)),
         'nonfinite_frames': n_nonfinite,

@@ -76,19 +76,36 @@ def load_ply_vertices(path: str) -> np.ndarray:
 
 
 def model_diameter(vertices: np.ndarray, exact_limit: int = 4096) -> float:
-    """Max pairwise distance (evaluation.py diameter semantics).  For large
-    meshes, computed exactly on the convex-hull-ish extreme subset obtained
-    by keeping the farthest points per axis-direction sample."""
+    """Max pairwise distance (evaluation.py diameter semantics).
+
+    Meshes up to ``exact_limit`` vertices are exact (full pairwise).
+    Larger meshes use the convex-hull vertices when scipy is available
+    (the diameter is attained between hull vertices, so that is exact
+    too); without scipy, extremes along 256 fixed random directions give
+    a slight lower bound (the true pair need not be extremal along any
+    sampled direction) — adequate for the 0.1*diameter ADD threshold,
+    and deterministic (seed 0)."""
     v = np.asarray(vertices)
     if len(v) > exact_limit:
-        # subsample via extremes along random directions — the diameter is
-        # attained at extreme points, so this is exact w.h.p.
-        rng = np.random.default_rng(0)
-        dirs = rng.normal(size=(256, 3))
-        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-        proj = v @ dirs.T
-        idx = np.unique(np.concatenate([proj.argmax(0), proj.argmin(0)]))
-        v = v[idx]
+        try:
+            from scipy.spatial import ConvexHull
+            v = v[np.unique(ConvexHull(v).vertices)]
+        except Exception:
+            rng = np.random.default_rng(0)
+            dirs = rng.normal(size=(256, 3))
+            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+            proj = v @ dirs.T
+            idx = np.unique(np.concatenate([proj.argmax(0),
+                                            proj.argmin(0)]))
+            v = v[idx]
+        if len(v) > exact_limit:
+            # hull still huge: chunk the pairwise max to bound memory
+            best = 0.0
+            for i in range(0, len(v), exact_limit):
+                blk = v[i:i + exact_limit]
+                d = np.linalg.norm(blk[:, None] - v[None, :], axis=-1)
+                best = max(best, float(d.max()))
+            return best
     d = np.linalg.norm(v[:, None] - v[None, :], axis=-1)
     return float(d.max())
 
@@ -222,12 +239,22 @@ def load_occlusion_records(pkl_dir: str, name: str) -> list[dict]:
     return list(_load_pkl(os.path.join(pkl_dir, 'occ', f'{name}_real.pkl')))
 
 
-def decode_class_mask(mask: np.ndarray, rgb_pth: str,
-                      cls_name: str) -> np.ndarray:
+def decode_class_mask(mask: np.ndarray, rgb_pth: str, cls_name: str,
+                      rnd_typ: str | None = None) -> np.ndarray:
     """Binary object mask from a stored mask image (data_load3.py:146-154):
-    fuse composites ('f...' paths) store per-class indices into
-    FUSE_CLS_ORDER; real/render masks are any-channel-nonzero."""
-    if os.path.basename(str(rgb_pth)).startswith('f'):
+    fuse composites store per-class indices into FUSE_CLS_ORDER;
+    real/render masks are any-channel-nonzero.
+
+    Fuse detection prefers the record's explicit ``rnd_typ`` field (the
+    PVNet convention our db_builder writes); without one it falls back to
+    the reference's rule — first character of the RELATIVE path is 'f'
+    (``des['rgb_pth'][0] == 'f'``, i.e. files under ``fuse/``; NOT the
+    basename, which for fuse composites is ``{k}_rgb.jpg``)."""
+    if rnd_typ is not None:
+        is_fuse = (rnd_typ == 'fuse')
+    else:
+        is_fuse = str(rgb_pth).startswith('f')
+    if is_fuse:
         return np.asarray(mask == FUSE_CLS_ORDER.index(cls_name) + 1,
                           np.uint8)
     if mask.ndim == 3:
@@ -274,9 +301,11 @@ class LinemodBatchLoader:
             ).convert('RGB'), np.uint8)
             m = np.asarray(Image.open(
                 os.path.join(self.image_root, str(des['dpt_pth']))))
-            m = decode_class_mask(m, des['rgb_pth'], self.cls_name)
-            frames[i, :img.shape[0], :img.shape[1]] = img
-            masks[i, :m.shape[0], :m.shape[1]] = m
+            m = decode_class_mask(m, des['rgb_pth'], self.cls_name,
+                                  rnd_typ=des.get('rnd_typ'))
+            # images larger than frame_hw are cropped, not a shape error
+            frames[i, :img.shape[0], :img.shape[1]] = img[:h, :w]
+            masks[i, :m.shape[0], :m.shape[1]] = m[:h, :w]
         out = {
             'frame': frames,
             'mask': masks,
@@ -310,9 +339,15 @@ class LinemodBatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
 
         def worker():
-            for idxs in batches:
-                q.put(self._assemble([self.records[i] for i in idxs]))
-            q.put(None)
+            # Any failure must reach the consumer: a dead producer that
+            # never enqueues its sentinel would hang the train loop on
+            # q.get() forever (silent job hang on a remote host).
+            try:
+                for idxs in batches:
+                    q.put(self._assemble([self.records[i] for i in idxs]))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -320,4 +355,6 @@ class LinemodBatchLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

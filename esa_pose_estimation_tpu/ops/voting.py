@@ -54,9 +54,15 @@ _EPS = 1e-9
 
 
 class VotingResult(NamedTuple):
-    keypoints: jnp.ndarray   # (B, K, 2) pixel coords (x, y)
+    """NOTE: ``mean`` and ``covariance`` are NOT moments of one Gaussian:
+    ``mean`` is the ratio-thresholded weighted centre of the hypothesis
+    cloud, while ``covariance`` is the cloud's second moment about
+    ``keypoints`` — the reference eval convention, where the covariance
+    fed to uncertainty PnP is taken around the refined winner
+    (ransac_voting_gpu.py:392-401 with mean = the v3 keypoint)."""
+    keypoints: jnp.ndarray   # (B, K, 2) refined winner, pixel (x, y)
     mean: jnp.ndarray        # (B, K, 2) vote-weighted hypothesis mean
-    covariance: jnp.ndarray  # (B, K, 2, 2) hypothesis covariance
+    covariance: jnp.ndarray  # (B, K, 2, 2) cloud 2nd moment about keypoints
     inlier_counts: jnp.ndarray  # (B, K) votes for the winning hypothesis
 
 
@@ -148,11 +154,17 @@ def _vote_counts_chunked(hyp: jnp.ndarray, coords: jnp.ndarray,
     hp = jnp.pad(hyp, ((0, 0), (0, n_hyp_pad - n_hyp), (0, 0), (0, 0)))
     hp = hp.reshape(b, n_hyp_pad // chunk, chunk, k, 2)
     hp = jnp.moveaxis(hp, 1, 0)                               # (S, B, C, K, 2)
+    # cos = diff·dir / (|diff| |dir|): the reference normalizes BOTH
+    # vectors (ransac_voting_kernel.cu:119-123) — the network's direction
+    # field is only approximately unit-norm, and skipping |dir| would
+    # skew the angular test by exactly that norm error.
+    dirn = jnp.linalg.norm(dirs, axis=-1) + _EPS              # (B, N, K)
 
     def body(_, hyp_c):
         diff = hyp_c[:, :, None, :, :] - coords[:, None, :, None, :]
         dn = jnp.linalg.norm(diff, axis=-1) + _EPS            # (B, C, N, K)
-        cos = jnp.einsum('bcnki,bnki->bcnk', diff, dirs) / dn
+        cos = jnp.einsum('bcnki,bnki->bcnk', diff, dirs) \
+            / (dn * dirn[:, None, :, :])
         v = (cos > inlier_threshold).astype(wt.dtype) * wt[:, None, :, None]
         return None, v.sum(axis=2)                            # (B, C, K)
 
@@ -168,7 +180,8 @@ def _votes_for(points: jnp.ndarray, coords: jnp.ndarray, dirs: jnp.ndarray,
     points (B, K, 2) -> votes (B, N, K)."""
     diff = points[:, None, :, :] - coords[:, :, None, :]      # (B, N, K, 2)
     dn = jnp.linalg.norm(diff, axis=-1) + _EPS
-    cos = jnp.einsum('bnki,bnki->bnk', diff, dirs) / dn
+    dirn = jnp.linalg.norm(dirs, axis=-1) + _EPS
+    cos = jnp.einsum('bnki,bnki->bnk', diff, dirs) / (dn * dirn)
     return (cos > inlier_threshold).astype(wt.dtype) * wt[:, :, None]
 
 
@@ -388,7 +401,8 @@ def ransac_voting_center(mask: jnp.ndarray, vertex: jnp.ndarray,
     grid = _pixel_grid(h, w, vertex.dtype).reshape(1, h, w, 2)
     diff = center[:, None, None, :] - grid                    # (B, H, W, 2)
     dn = jnp.linalg.norm(diff, axis=-1) + _EPS
-    cos = jnp.einsum('bhwi,bhwi->bhw', diff, vertex) / dn
+    dirn = jnp.linalg.norm(vertex, axis=-1) + _EPS
+    cos = jnp.einsum('bhwi,bhwi->bhw', diff, vertex) / (dn * dirn)
     votes = (cos > inlier_threshold).astype(mask.dtype) * mask
     ratio = votes.sum(axis=(1, 2)) / (mask.sum(axis=(1, 2)) + _EPS)
     return CenterVotingResult(center=center, inlier_mask=votes,
@@ -420,6 +434,10 @@ def _vanishing_hypotheses(coords, dirs, wt, key, n_hyp):
     vx1 = d1[..., 0] * (x - z * c1[..., 0])
     vy0 = d0[..., 1] * (y - z * c0[..., 1])
     vy1 = d1[..., 1] * (y - z * c1[..., 1])
+    # Exact reference gating (ransac_voting_kernel.cu:216-224), including
+    # its quirk: with an exactly axis-aligned direction (zero x or y
+    # component) the strict <0 flip test can never fire, so such a
+    # hypothesis keeps its sign and is later rejected by the agree test.
     flip = (vx0 < 0) & (vx1 < 0) & (vy0 < 0) & (vy1 < 0)
     vp = jnp.where(flip[..., None], -vp, vp)
     bad = (vx0 * vx1 < 0) | (vy0 * vy1 < 0)
@@ -435,7 +453,8 @@ def _vanishing_votes(vp, coords, dirs, wt, thresh):
     diff = (vp[..., None, :, :2]
             - coords[:, None, :, None, :] * vp[..., None, :, 2:])
     dn = jnp.linalg.norm(diff, axis=-1) + _EPS
-    cos = jnp.einsum('b...nki,bnki->b...nk', diff, dirs) / dn
+    dirn = jnp.linalg.norm(dirs, axis=-1) + _EPS
+    cos = jnp.einsum('b...nki,bnki->b...nk', diff, dirs) / (dn * dirn)
     agree = ((diff[..., 0] * dirs[:, None, :, :, 0] >= 0)
              & (diff[..., 1] * dirs[:, None, :, :, 1] >= 0))
     return ((jnp.abs(cos) > thresh) & agree).astype(wt.dtype) \

@@ -160,8 +160,11 @@ class TestBuilders:
         # composite mask (fuse rule: value == FUSE_CLS_ORDER index + 1)
         from PIL import Image
         m = np.asarray(Image.open(os.path.join(root, str(r['dpt_pth']))))
-        cls_mask = lm.decode_class_mask(m, os.path.basename(
-            str(r['rgb_pth'])), CLS)
+        # full relative path + rnd_typ, as the loader passes them — the
+        # builder's fuse basenames are '{k}_rgb.jpg', so basename-based
+        # fuse detection would silently take the wrong decode branch
+        cls_mask = lm.decode_class_mask(m, str(r['rgb_pth']), CLS,
+                                        rnd_typ=r['rnd_typ'])
         assert cls_mask.sum() >= 10
         # K-shift convention: projecting sift_3d with the shifted K lands
         # inside the pasted mask's bbox (data_utils.py:344-348)

@@ -244,3 +244,21 @@ def test_train_linemod_e2e_real_layout(data2, tmp_path):
         assert k in res and 0.0 <= res[k] <= 1.0, (k, res)
     occ_file = tmp_path / 'run' / 'occ_result.txt'
     assert occ_file.exists() and CLS in occ_file.read_text()
+
+
+def test_decode_class_mask_builder_convention():
+    # db_builder fuse records: rgb_pth 'fuse/{k}_rgb.jpg' (basename does
+    # NOT start with 'f') + rnd_typ='fuse'.  Both the explicit rnd_typ and
+    # the reference's relative-path-first-char fallback must pick the fuse
+    # rule; a basename check would not.
+    idx = lm.FUSE_CLS_ORDER.index(CLS) + 1
+    m = np.zeros((8, 8), np.uint8)
+    m[:2, :2] = idx
+    m[4:, 4:] = idx + 3
+    by_typ = lm.decode_class_mask(m, 'fuse/3_rgb.jpg', CLS, rnd_typ='fuse')
+    by_path = lm.decode_class_mask(m, 'fuse/3_rgb.jpg', CLS)
+    for out in (by_typ, by_path):
+        assert out[:2, :2].all() and not out[4:, 4:].any()
+    # explicit rnd_typ wins over a misleading path
+    real = lm.decode_class_mask(m, 'fuse/3_rgb.jpg', CLS, rnd_typ='real')
+    assert real[4:, 4:].all()
