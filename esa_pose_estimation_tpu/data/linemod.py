@@ -200,8 +200,10 @@ FUSE_CLS_ORDER = ['ape', 'cam', 'cat', 'duck', 'glue', 'iron', 'phone',
 
 def _load_pkl(path: str):
     import pickle
+    # latin1 decodes Python-2-era pickles with str keys and numpy arrays
+    # intact; 'bytes' would break every str-key lookup on legacy records.
     with open(path, 'rb') as f:
-        return pickle.load(f, encoding='bytes')
+        return pickle.load(f, encoding='latin1')
 
 
 def split_index(entry) -> int:
@@ -337,24 +339,41 @@ class LinemodBatchLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             # Any failure must reach the consumer: a dead producer that
             # never enqueues its sentinel would hang the train loop on
-            # q.get() forever (silent job hang on a remote host).
+            # q.get() forever (silent job hang on a remote host).  An
+            # abandoned consumer (early break) must release the producer.
             try:
                 for idxs in batches:
-                    q.put(self._assemble([self.records[i] for i in idxs]))
-                q.put(None)
+                    if not _put(self._assemble(
+                            [self.records[i] for i in idxs])):
+                        return
+                _put(None)
             except BaseException as e:  # noqa: BLE001 — re-raised below
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

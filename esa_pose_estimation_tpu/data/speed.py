@@ -62,9 +62,13 @@ def process_json_dataset(root_dir: str) -> SpeedSplits:
 
 def load_pickle_records(path: str) -> list[dict[str, Any]]:
     """Load the precomputed per-image records (data/train.pkl etc.,
-    data_load4.py:90-101 layout)."""
+    data_load4.py:90-101 layout).
+
+    ``encoding='latin1'`` decodes Python-2-era pickles with str keys and
+    numpy arrays intact ('bytes' would turn every dict key into bytes and
+    break the str lookups downstream)."""
     with open(path, 'rb') as f:
-        return pickle.load(f, encoding='bytes')
+        return pickle.load(f, encoding='latin1')
 
 
 def save_pickle_records(path: str, records: list[dict[str, Any]]) -> None:
@@ -74,9 +78,13 @@ def save_pickle_records(path: str, records: list[dict[str, Any]]) -> None:
 
 
 def read_gray_image(path: str) -> np.ndarray:
-    """Grayscale uint8 frame (read_mask_np parity, data_load4.py:47-51)."""
+    """Grayscale uint8 frame (read_mask_np parity, data_load4.py:47-51).
+
+    ``convert('L')`` is a no-op for SPEED's 8-bit grayscale frames and
+    makes RGB or 16-bit inputs well-defined instead of a shape error /
+    silent wraparound in batch assembly."""
     from PIL import Image
-    return np.asarray(Image.open(path), dtype=np.uint8)
+    return np.asarray(Image.open(path).convert('L'), dtype=np.uint8)
 
 
 @dataclass
@@ -166,10 +174,13 @@ class BatchLoader:
     def _assemble(self, batch: list[Record]) -> dict[str, np.ndarray]:
         h, w = self.frame_hw
         n = len(batch)
-        frames = np.zeros((n, h, w), np.float32)
+        # uint8 on the host: 4x less RAM and H2D traffic than f32 for
+        # data the device pipeline casts anyway (ops/crop.py:190); same
+        # policy as the native loader.
+        frames = np.zeros((n, h, w), np.uint8)
         for i, r in enumerate(batch):
             img = read_gray_image(r.image_path)
-            frames[i, :img.shape[0], :img.shape[1]] = img
+            frames[i, :img.shape[0], :img.shape[1]] = img[:h, :w]
         out = {
             'frame': frames,
             'bbox': np.stack([r.bbox for r in batch]),
@@ -177,9 +188,11 @@ class BatchLoader:
             'K': np.stack([r.K for r in batch]),
             'name': [r.name for r in batch],
         }
-        if batch[0].keypoints_2d is not None:
+        # Key presence must hold for the WHOLE batch (a shuffled mix of
+        # labeled and unlabeled records would otherwise stack None).
+        if all(r.keypoints_2d is not None for r in batch):
             out['keypoints_2d'] = np.stack([r.keypoints_2d for r in batch])
-        if batch[0].quat is not None:
+        if all(r.quat is not None and r.trans is not None for r in batch):
             out['quat'] = np.stack([r.quat for r in batch])
             out['trans'] = np.stack([r.trans for r in batch])
         return out
@@ -194,16 +207,42 @@ class BatchLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
-            for idxs in batches:
-                q.put(self._assemble([self.records[i] for i in idxs]))
-            q.put(None)
+            # Failures must reach the consumer (a dead producer that
+            # never enqueues the sentinel hangs the train loop forever),
+            # and an abandoned consumer must release the producer (a
+            # blocking q.put would strand prefetched full-res batches
+            # for the life of the process).
+            try:
+                for idxs in batches:
+                    if not _put(self._assemble(
+                            [self.records[i] for i in idxs])):
+                        return
+                _put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                _put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

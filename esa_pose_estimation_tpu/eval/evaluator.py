@@ -32,19 +32,42 @@ def add_error(model_pts: jnp.ndarray, R_pred, t_pred, R_gt, t_gt) -> jnp.ndarray
     return jnp.mean(jnp.linalg.norm(a - b, axis=-1), axis=-1)
 
 
-def adds_error(model_pts: jnp.ndarray, R_pred, t_pred, R_gt, t_gt) -> jnp.ndarray:
+def adds_error(model_pts: jnp.ndarray, R_pred, t_pred, R_gt, t_gt,
+               chunk: int = 2048) -> jnp.ndarray:
     """Symmetric ADD: mean nearest-neighbor distance (evaluation.py:386-397).
 
-    The (N, N) pairwise distance matrix is one matmul-shaped contraction —
-    MXU-friendly for the few-thousand-point models used here.
+    Each chunk of query points forms one (C, N) matmul-shaped distance
+    contraction (MXU-friendly); chunking over the query axis with
+    ``lax.scan`` bounds peak memory to one (..., C, N) block, so batched
+    eval over dense meshes never materializes the full (..., N, N)
+    matrix (e.g. B=32 x 10k x 10k f32 would be ~12.8 GB).
     """
+    import jax
+
     a = _transform(model_pts, R_pred, t_pred)       # (..., N, 3)
     b = _transform(model_pts, R_gt, t_gt)
-    a2 = jnp.sum(a * a, axis=-1)[..., :, None]
-    b2 = jnp.sum(b * b, axis=-1)[..., None, :]
-    ab = linalg.einsum('...ni,...mi->...nm', a, b)
-    d2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
-    return jnp.mean(jnp.sqrt(jnp.min(d2, axis=-1)), axis=-1)
+    n = a.shape[-2]
+    b2 = jnp.sum(b * b, axis=-1)[..., None, :]      # (..., 1, N)
+
+    def block_min(a_blk):
+        a2 = jnp.sum(a_blk * a_blk, axis=-1)[..., :, None]
+        ab = linalg.einsum('...ni,...mi->...nm', a_blk, b)
+        d2 = jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+        return jnp.sqrt(jnp.min(d2, axis=-1))       # (..., C)
+
+    if n <= chunk:
+        return jnp.mean(block_min(a), axis=-1)
+
+    pad = (-n) % chunk
+    a_p = jnp.concatenate(
+        [a, jnp.zeros(a.shape[:-2] + (pad, 3), a.dtype)], axis=-2)
+    s = (n + pad) // chunk
+    blocks = jnp.moveaxis(
+        a_p.reshape(a.shape[:-2] + (s, chunk, 3)), -3, 0)  # (S, ..., C, 3)
+    _, mins = jax.lax.scan(lambda c, blk: (c, block_min(blk)), None, blocks)
+    mins = jnp.moveaxis(mins, 0, -2)                # (..., S, C)
+    mins = mins.reshape(a.shape[:-2] + (s * chunk,))[..., :n]
+    return jnp.mean(mins, axis=-1)
 
 
 def projection_error_2d(model_pts: jnp.ndarray, K: jnp.ndarray,

@@ -35,8 +35,18 @@ class TsvLogger:
                 self.numbers = {n: [] for n in self.names}
                 for line in f:
                     vals = line.rstrip('\n').split('\t')
-                    for n, v in zip(self.names, vals):
-                        self.numbers[n].append(float(v))
+                    # A run killed mid-write leaves a truncated final
+                    # row; skip malformed rows instead of refusing to
+                    # resume (the reference's resume has the same tail
+                    # tolerance by virtue of pandas-free parsing).
+                    if len(vals) != len(self.names):
+                        continue
+                    try:
+                        parsed = [float(v) for v in vals]
+                    except ValueError:
+                        continue
+                    for n, v in zip(self.names, parsed):
+                        self.numbers[n].append(v)
             self.file = open(path, 'a')
         else:
             os.makedirs(os.path.dirname(path) or '.', exist_ok=True)

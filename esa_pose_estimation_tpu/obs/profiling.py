@@ -23,19 +23,43 @@ import jax
 import numpy as np
 
 
+class _Span:
+    """Mutable handle yielded by :meth:`Timer.span`: assign the value to
+    sync on to ``.result`` from inside the span."""
+
+    __slots__ = ('result',)
+
+    def __init__(self, result=None):
+        self.result = result
+
+
 class Timer:
-    """Synchronized wall-clock span collector."""
+    """Synchronized wall-clock span collector.
+
+    Usage::
+
+        with t.span() as s:
+            s.result = jitted_step(x)   # blocked on at span exit
+
+    Assigning the output inside the span is essential: JAX dispatch is
+    async, so without the sync the span records only dispatch time.  The
+    ``result=`` argument still works for values that already exist at
+    entry (e.g. timing only the block_until_ready of in-flight work).
+    """
 
     def __init__(self):
         self.times: list[float] = []
 
     @contextlib.contextmanager
     def span(self, result=None):
+        s = _Span(result)
         start = time.perf_counter()
-        yield
-        if result is not None:
-            jax.block_until_ready(result)
-        self.times.append(time.perf_counter() - start)
+        try:
+            yield s
+        finally:
+            if s.result is not None:
+                jax.block_until_ready(s.result)
+            self.times.append(time.perf_counter() - start)
 
     @property
     def mean(self) -> float:

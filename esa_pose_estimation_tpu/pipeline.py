@@ -112,6 +112,7 @@ def downsample_frames(frames: jnp.ndarray, factor: int) -> jnp.ndarray:
     """Average-pool (B, H, W) frames by an integer factor (detector input).
 
     H and W must be divisible by ``factor`` (1920x1200 divides by 2/4/8)."""
+    frames = frames.astype(jnp.float32)   # loaders may ship uint8 frames
     if factor == 1:
         return frames
     b, h, w = frames.shape

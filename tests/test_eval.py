@@ -160,3 +160,24 @@ class TestObs:
         assert p.send('x') is False
         p2 = TcpPusher(host='127.0.0.1', port=1)  # nothing listening
         assert p2.create_socket() is False
+
+
+def test_adds_error_chunked_matches_dense():
+    # Chunked scan path (n > chunk) must equal the single-block path.
+    import jax.numpy as jnp
+    from esa_pose_estimation_tpu.eval.evaluator import adds_error
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(37, 3)).astype(np.float32)
+
+    def rot(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    Rp = np.stack([rot(0.1), rot(0.4)])
+    Rg = np.stack([rot(0.0), rot(0.5)])
+    tp = np.zeros((2, 3), np.float32)
+    tg = np.full((2, 3), 0.02, np.float32)
+    dense = adds_error(jnp.asarray(pts), Rp, tp, Rg, tg, chunk=64)
+    chunked = adds_error(jnp.asarray(pts), Rp, tp, Rg, tg, chunk=8)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(chunked),
+                               rtol=1e-6)

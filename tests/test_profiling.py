@@ -34,3 +34,13 @@ def test_precision_recall():
     assert p[0] == 1.0 and r[0] == 1.0
     assert p[1] == 1.0 and r[1] == 2.0 / 3.0
     assert p[2] == 0.0
+
+
+def test_span_holder_syncs_inside_result():
+    # The natural usage: compute INSIDE the span, sync at exit.
+    import jax.numpy as jnp
+    from esa_pose_estimation_tpu.obs import profiling
+    t = profiling.Timer()
+    with t.span() as s:
+        s.result = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+    assert len(t.times) == 1 and t.times[0] > 0

@@ -92,3 +92,39 @@ def test_norm_mean_changes_build_batch_output(mixed_root):
                                   norm_mean=0.5)
     diff = np.asarray(a['image'] - b['image'])
     np.testing.assert_allclose(diff, (0.5 - 0.449) / 0.229, atol=1e-5)
+
+
+def test_loader_surfaces_worker_errors_and_releases_on_break(tmp_path):
+    """A bad record must raise in the consumer (not hang the train loop),
+    and abandoning the iterator early must not deadlock the producer."""
+    import numpy as np
+    from PIL import Image
+    from esa_pose_estimation_tpu.data import speed
+
+    good = tmp_path / 'ok.png'
+    Image.fromarray(np.zeros((8, 8), np.uint8)).save(good)
+
+    def rec(path):
+        return speed.Record(
+            image_path=str(path),
+            bbox=np.array([1, 1, 6, 6], np.float32),
+            keypoints_2d=None,
+            keypoints_3d=np.zeros((4, 3), np.float32),
+            K=np.eye(3, dtype=np.float32),
+            quat=None, trans=None, name='x')
+
+    bad = [rec(good), rec(tmp_path / 'missing.png')]
+    loader = speed.BatchLoader(bad, batch_size=2, shuffle=False,
+                               frame_hw=(8, 8))
+    with pytest.raises(FileNotFoundError):
+        for _ in loader:
+            pass
+
+    many = [rec(good) for _ in range(8)]
+    loader2 = speed.BatchLoader(many, batch_size=2, shuffle=False,
+                                frame_hw=(8, 8), prefetch=1)
+    for b in loader2:
+        assert b['frame'].dtype == np.uint8
+        break                    # abandon early; producer must release
+    # a fresh epoch over the same loader still works
+    assert sum(1 for _ in loader2) == 4
