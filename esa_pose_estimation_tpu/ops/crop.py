@@ -69,7 +69,8 @@ def _kmul_table(k: float, n: int = 4097, t_cap: int = 1 << 20
 
 
 def _expand_box_int(c0: jnp.ndarray, c1: jnp.ndarray, half: jnp.ndarray,
-                    k: float) -> tuple[jnp.ndarray, ...]:
+                    k: float, table_size: int = 4097
+                    ) -> tuple[jnp.ndarray, ...]:
     """``int(c ± k*half)`` with the reference's Python-float (f64)
     semantics, as integer arithmetic on a host-precomputed product table
     (exhaustively verified in tests/test_linemod_real.py).  With
@@ -78,7 +79,10 @@ def _expand_box_int(c0: jnp.ndarray, c1: jnp.ndarray, half: jnp.ndarray,
       int(c - y) = c - m - 1 if 1 <= (c - m) <= thresh else c - m
       int(c + y) = c + m + 1 if -thresh <= (c + m) < 0 else c + m
     """
-    floors, threshs = _kmul_table(float(k))
+    # Size the table to the caller's frame (half <= max dim / 2 for any
+    # in-frame box); the clip below is then a guard for degenerate
+    # out-of-frame boxes only, never a silent wrong-product path.
+    floors, threshs = _kmul_table(float(k), n=max(int(table_size), 2))
     tbl_m = jnp.asarray(floors, jnp.int32)
     tbl_t = jnp.asarray(threshs, jnp.int32)
     idx = jnp.clip(half, 0, tbl_m.shape[0] - 1)
@@ -112,7 +116,8 @@ def adjust_bbox(bbox: jnp.ndarray, img_w: int = 1920, img_h: int = 1200,
     c1 = _trunc_int((y1 + y2) / 2)
     half = _trunc_int(jnp.maximum(x2 - x1, y2 - y1) / 2)
 
-    x_new, y_new, w_new, h_new = _expand_box_int(c0, c1, half, k)
+    x_new, y_new, w_new, h_new = _expand_box_int(
+        c0, c1, half, k, table_size=max(img_w, img_h) + 2)
     # force square (data_load4.py:120-121)
     h_new = jnp.where(w_new - x_new != h_new - y_new,
                       y_new + (w_new - x_new), h_new)
@@ -238,7 +243,8 @@ def adjust_bbox_linemod(bbox: jnp.ndarray, img_w: int = 640,
     half = _trunc_int(jnp.maximum(float(min_size),
                                   jnp.maximum(x2 - x1, y2 - y1)) / 2)
 
-    x_new, y_new, w_new, h_new = _expand_box_int(c0, c1, half, k)
+    x_new, y_new, w_new, h_new = _expand_box_int(
+        c0, c1, half, k, table_size=max(img_w, img_h) + 2)
     h_new = jnp.where(w_new - x_new != h_new - y_new,
                       y_new + (w_new - x_new), h_new)
     # clamp-shift into the frame (data_load3.py:170-181)
@@ -250,6 +256,15 @@ def adjust_bbox_linemod(bbox: jnp.ndarray, img_w: int = 640,
     w_new = jnp.minimum(w_new, img_w)
     y_new = jnp.where(h_new > img_h, y_new + img_h - h_new, y_new)
     h_new = jnp.minimum(h_new, img_h)
+    # Deviation from the reference for DEGENERATE boxes larger than the
+    # frame: the far-edge shift above can push the origin negative, and
+    # the reference then numpy-slices with a negative start — silently
+    # cropping an arbitrary far corner (data_load3.py:200 with
+    # x_new < 0).  Clamp to the full frame instead; such boxes never
+    # occur in real LINEMOD data, and an in-frame window keeps the
+    # keypoint transform rate*(kp - origin) meaningful.
+    x_new = jnp.maximum(x_new, 0)
+    y_new = jnp.maximum(y_new, 0)
 
     # grow back to square inside the frame (data_load3.py:182-205)
     left = w_new - x_new
@@ -273,6 +288,13 @@ def adjust_bbox_linemod(bbox: jnp.ndarray, img_w: int = 640,
                       h_new - y_shift, h_new)
     y_new = jnp.where((dis > 0) & ~grow_down, jnp.maximum(y_shift, 0),
                       y_new)
+
+    # The reference's inner clamp can push the far edge past the frame
+    # (h_new -= y_new with y_new < 0, data_load3.py:197-199); its numpy
+    # slice then silently clamps to the frame.  Reproduce that clamp
+    # explicitly so the emitted window is always inside the image.
+    w_new = jnp.minimum(w_new, img_w)
+    h_new = jnp.minimum(h_new, img_h)
 
     origin = jnp.stack([x_new, y_new], axis=-1)
     crop_sizes = jnp.stack([w_new - x_new, h_new - y_new], axis=-1)

@@ -72,20 +72,25 @@ def _inv3(M: jnp.ndarray) -> jnp.ndarray:
 
 
 def polar_rotation(M: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
-    """Nearest rotation to a (batched) 3x3 matrix via scaled Newton polar
-    iteration (Higham): R <- (g R + (1/g) R^-T) / 2.
+    """Nearest PROPER rotation to a (batched) 3x3 matrix via scaled Newton
+    polar iteration (Higham): R <- (g R + (1/g) R^-T) / 2.
 
     Replaces the batched 3x3 SVD, which lowers to a slow iterative kernel
     on TPU (~5 us/matrix); this is straight-line elementwise math with a
-    closed-form adjugate inverse.  det<0 inputs are flipped up front so the
-    result is a proper rotation (the SVD sign-correction equivalent).
+    closed-form adjugate inverse.
+
+    det<0 inputs (reflection-dominant covariances from weak-perspective /
+    mirrored point clouds) need the Kabsch sign correction: the polar
+    factor Q itself is then improper, and the nearest rotation is
+    ``Q (I - 2 v v^T)`` with v the least principal direction of M —
+    equivalent to SVD's ``U diag(1, 1, -1) V^T``.  (A previous revision
+    multiplied M by sign(det) before the iteration and multiplied the
+    result back, which algebraically returns exactly the improper Q.)
     """
     det = jnp.linalg.det(M)
-    sign = jnp.where(det < 0, -1.0, 1.0)[..., None, None]
-    X = M * sign
     # normalize scale so the iteration starts well-conditioned
-    X = X / jnp.maximum(
-        jnp.linalg.norm(X, axis=(-2, -1), keepdims=True) / jnp.sqrt(3.0),
+    X = M / jnp.maximum(
+        jnp.linalg.norm(M, axis=(-2, -1), keepdims=True) / jnp.sqrt(3.0),
         1e-12)
     for _ in range(iters):
         Xi_t = jnp.swapaxes(_inv3(X), -1, -2)
@@ -94,7 +99,14 @@ def polar_rotation(M: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
         ni = jnp.linalg.norm(Xi_t, axis=(-2, -1), keepdims=True)
         g = jnp.sqrt(jnp.maximum(ni / jnp.maximum(nx, 1e-12), 1e-12))
         X = 0.5 * (g * X + Xi_t / g)
-    return X * sign
+    # Kabsch correction: reflect along the least principal direction of
+    # M^T M (the right singular vector of the smallest singular value).
+    MtM = linalg.einsum('...ji,...jk->...ik', M, M)
+    v = smallest_eigvecs(MtM, k=1, iters=8)[..., 0]      # (..., 3)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    refl = jnp.eye(3, dtype=M.dtype) - 2.0 * v[..., :, None] * v[..., None, :]
+    X_fixed = linalg.matmul(X, refl)
+    return jnp.where((det < 0)[..., None, None], X_fixed, X)
 
 
 def weighted_kabsch(src: jnp.ndarray, dst: jnp.ndarray,
@@ -379,6 +391,18 @@ def epnp_reconstruct(shared: EpnpShared, w: jnp.ndarray,
     return pts_cam * jnp.where(depth < 0, -1.0, 1.0)[..., None, None]
 
 
+def mirror_cloud(pts_cam: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weak-perspective mirror of a camera-frame cloud: reflection across
+    the plane through the weighted centroid perpendicular to the line of
+    sight.  Under weak perspective both clouds project near-identically —
+    this is the two-fold bas-relief ambiguity."""
+    wn = w / (jnp.sum(w, axis=-1, keepdims=True) + _EPS)
+    c = jnp.sum(wn[..., None] * pts_cam, axis=-2)             # (..., 3)
+    n = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), _EPS)
+    d = linalg.einsum('...ni,...i->...n', pts_cam - c[..., None, :], n)
+    return pts_cam - 2.0 * d[..., None] * n[..., None, :]
+
+
 def epnp_from_mask(shared: EpnpShared, w: jnp.ndarray,
                    refine_betas: bool = True
                    ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -388,12 +412,34 @@ def epnp_from_mask(shared: EpnpShared, w: jnp.ndarray,
     (broadcast them beforehand — e.g. shared (B, 1, ...) vs masks (B, H, N)).
     ``refine_betas=False`` skips the beta Gauss-Newton (closed-form beta1
     only).  Returns (R, t).
+
+    The rigid alignment tries BOTH the reconstruction and its
+    weak-perspective mirror and keeps the better rotation-consistent fit:
+    the beta system is built from inter-point DISTANCES, which a mirrored
+    reconstruction satisfies exactly, so on weak-perspective frames
+    ``epnp_reconstruct`` can return the reflected cloud — no proper
+    rotation aligns it, while its mirror (which projects to the same
+    pixels) aligns with ~zero residual.  Selection is by the weighted
+    Procrustes residual itself, no image-space data needed.
     """
     pts_cam = epnp_reconstruct(shared, w, refine_betas=refine_betas)
     batch = pts_cam.shape[:-2]
     p3 = jnp.broadcast_to(shared.points_3d, batch + shared.points_3d.shape[-2:])
     wb = jnp.broadcast_to(w, batch + (w.shape[-1],))
-    return weighted_kabsch(p3, pts_cam, wb)
+    pm = mirror_cloud(pts_cam, wb)
+
+    def fit(target):
+        R, t = weighted_kabsch(p3, target, wb)
+        pred = linalg.einsum('...ij,...nj->...ni', R, p3) + t[..., None, :]
+        res = jnp.sum(wb * jnp.sum((pred - target) ** 2, axis=-1), axis=-1)
+        return R, t, res
+
+    R1, t1, e1 = fit(pts_cam)
+    R2, t2, e2 = fit(pm)
+    pick = (e2 < e1)[..., None]
+    R = jnp.where(pick[..., None], R2, R1)
+    t = jnp.where(pick, t2, t1)
+    return R, t
 
 
 @partial(jax.jit, static_argnames=('refine_betas',))

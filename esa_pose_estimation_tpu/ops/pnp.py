@@ -165,12 +165,10 @@ def mirror_pose(points_3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
     to the line of sight.  Reflect, then re-fit a proper rotation by
     weighted Procrustes.  Returns (R_mirror, t_mirror).
     """
+    from esa_pose_estimation_tpu.ops.epnp import mirror_cloud
+
     pc = linalg.einsum('...ij,...nj->...ni', R, points_3d) + t[..., None, :]
-    wn = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-9)
-    c = jnp.sum(wn[..., None] * pc, axis=-2)                      # (..., 3)
-    n = c / jnp.maximum(jnp.linalg.norm(c, axis=-1, keepdims=True), 1e-9)
-    d = linalg.einsum('...ni,...i->...n', pc - c[..., None, :], n)
-    pm = pc - 2.0 * d[..., None] * n[..., None, :]
+    pm = mirror_cloud(pc, weights)
     return weighted_kabsch(points_3d, pm, weights)
 
 

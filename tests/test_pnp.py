@@ -252,6 +252,8 @@ class TestFarDepthSixPoints:
         # must land near it and keep every confident point an inlier.
         assert abs(float(res.t[2]) - 25.69) < 1.0, np.asarray(res.t)
         assert int(res.inliers.sum()) == int(sel.sum())
+        # ... and be a PROPER rotation (det +1, not a reflection)
+        assert float(jnp.linalg.det(res.R)) == pytest.approx(1.0, abs=1e-3)
 
     def test_multi_seed_beats_single_seed(self):
         # The multi-basis beta seeds (epnp._beta_seeds) must solve the
@@ -263,6 +265,7 @@ class TestFarDepthSixPoints:
         errs = epnp_mod.reprojection_errors(p3, p2, R, t, SPEED_K32)
         mean_err = float(jnp.sum(w * errs) / jnp.sum(w))
         assert mean_err < 1.0, mean_err
+        assert float(jnp.linalg.det(R)) == pytest.approx(1.0, abs=1e-3)
 
 
 class TestMirrorDisambiguation:
@@ -283,35 +286,54 @@ class TestMirrorDisambiguation:
         c = (np.trace(np.asarray(Ra) @ np.asarray(Rb).T) - 1) / 2
         return float(np.degrees(np.arccos(np.clip(c, -1, 1))))
 
-    def test_dual_refine_recovers_true_rotation(self):
+    def test_full_pipeline_lands_on_true_rotation(self):
+        # Since the mirror-candidate Procrustes in epnp_from_mask, the
+        # RANSAC init itself already resolves this frame; the end-to-end
+        # check is that init + single refine is correct AND proper.
         p3, p2, sel, conf, Rgt, tgt = self._load()
         init = pnp_mod.ransac_epnp(p3, p2, SPEED_K32, jax.random.PRNGKey(0),
                                    valid=sel, n_hypotheses=32,
                                    sample_size=6, lm_iters=10)
+        assert float(jnp.linalg.det(init.R)) == pytest.approx(1.0, abs=1e-3)
         keep = init.inliers & sel
         w = jnp.where(keep, conf, 0.0)
-        # single refine stays on the mirror branch...
-        R1, _ = pnp_mod.lm_refine(p3, p2, w, SPEED_K32, init.R, init.t,
-                                  iters=10)
-        assert self._angle_deg(R1, Rgt) > 45.0
-        # ...dual refine escapes it.
-        R2, t2 = pnp_mod.lm_refine_dual(p3, p2, w, SPEED_K32,
-                                        init.R, init.t, iters=10)
+        R1, t1 = pnp_mod.lm_refine(p3, p2, w, SPEED_K32, init.R, init.t,
+                                   iters=10)
+        assert self._angle_deg(R1, Rgt) < 5.0, self._angle_deg(R1, Rgt)
+        assert float(jnp.linalg.det(R1)) == pytest.approx(1.0, abs=1e-3)
+
+    def test_dual_refine_from_mirror_init_lands_on_truth(self):
+        # Start from the WRONG (mirrored) interpretation explicitly.
+        # (Since mirror_pose re-fits a PROPER rotation, the mirror init
+        # is no longer an exact local minimum and even a single refine
+        # may escape; the dual refine must land on truth regardless.)
+        p3, p2, sel, conf, Rgt, tgt = self._load()
+        w = jnp.where(sel, conf, 0.0)
+        Rm, tm = pnp_mod.mirror_pose(p3, jnp.asarray(Rgt), jnp.asarray(tgt),
+                                     w)
+        assert self._angle_deg(Rm, Rgt) > 45.0   # init really is the mirror
+        R2, t2 = pnp_mod.lm_refine_dual(p3, p2, w, SPEED_K32, Rm, tm,
+                                        iters=10)
         assert self._angle_deg(R2, Rgt) < 5.0, self._angle_deg(R2, Rgt)
         assert float(jnp.linalg.norm(t2 - tgt)) < 0.1
+        assert float(jnp.linalg.det(R2)) == pytest.approx(1.0, abs=1e-3)
 
     def test_mirror_pose_is_distinct_but_close_in_image(self):
         # The mirror of a far-depth pose must reproject nearly as well
         # (that is what makes the ambiguity real) while differing by a
-        # large rotation.
+        # large rotation.  The mirror is re-fit as a PROPER rotation, so
+        # its reprojection of the reflected cloud is approximate (~15 px
+        # here before LM pulls it in) — but far below the ~30k px of a
+        # wrong-branch EPnP solution.
         p3, p2, sel, conf, Rgt, tgt = self._load()
         w = sel.astype(jnp.float32)
         Rm, tm = pnp_mod.mirror_pose(p3, jnp.asarray(Rgt),
                                      jnp.asarray(tgt), w)
         assert self._angle_deg(Rm, Rgt) > 45.0
+        assert float(jnp.linalg.det(Rm)) == pytest.approx(1.0, abs=1e-3)
         errs = epnp_mod.reprojection_errors(p3, p2, Rm, tm, SPEED_K32)
         mean_err = float(jnp.sum(w * errs) / jnp.sum(w))
-        assert mean_err < 10.0, mean_err
+        assert mean_err < 25.0, mean_err
 
 
 @pytest.fixture(scope='session', autouse=True)
@@ -323,3 +345,35 @@ def _make_fixture(tmp_path_factory):
         os.makedirs('tests/fixtures', exist_ok=True)
         from tests.fixtures.pnp_points import P2D, P3D
         np.savez(path, p3d=P3D, p2d=P2D)
+
+
+class TestPolarRotation:
+    """polar_rotation must return the nearest PROPER rotation (SVD's
+    U diag(1,1,sign) V^T), including for det<0 inputs where the plain
+    polar factor is a reflection."""
+
+    def test_matches_svd_sign_corrected(self):
+        # Compare via the Procrustes OBJECTIVE tr(R^T A): when the two
+        # smallest singular values are close the optimal R itself is
+        # ill-conditioned (any rotation in that subspace is near-optimal),
+        # so element-wise comparison against SVD is the wrong invariant.
+        rng = np.random.default_rng(11)
+        A = rng.normal(size=(16, 3, 3)).astype(np.float32)
+        R = np.asarray(epnp_mod.polar_rotation(jnp.asarray(A)))
+        np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-4)
+        U, s, Vt = np.linalg.svd(A)
+        d = np.sign(np.linalg.det(U @ Vt))
+        # optimal objective: s1 + s2 + sign * s3
+        best = s[:, 0] + s[:, 1] + d * s[:, 2]
+        got = np.einsum('bij,bij->b', R, A)
+        np.testing.assert_allclose(got, best, rtol=1e-4, atol=1e-4)
+
+    def test_kabsch_on_reflected_cloud_is_proper(self):
+        rng = np.random.default_rng(3)
+        src = rng.normal(size=(20, 3)).astype(np.float32)
+        refl = np.diag([1.0, 1.0, -1.0]).astype(np.float32)
+        dst = src @ refl.T          # pure reflection: covariance det < 0
+        w = np.ones(20, np.float32)
+        R, t = epnp_mod.weighted_kabsch(jnp.asarray(src), jnp.asarray(dst),
+                                        jnp.asarray(w))
+        assert float(jnp.linalg.det(R)) == pytest.approx(1.0, abs=1e-3)
