@@ -183,7 +183,6 @@ class HRNet(nn.Module):
         x = BranchBlocks(s1.block, s1.num_blocks[0], s1.num_channels[0],
                          c.with_cbam, **kw)(x, train)
         xs = [x]
-        pre_channels = (s1.num_channels[0] * blk.expansion,)
 
         # Stages 2-4: transition + modules.
         for stage in (c.stage2, c.stage3, c.stage4):
@@ -192,7 +191,6 @@ class HRNet(nn.Module):
             xs = Transition(out_channels, **kw)(xs, train)
             for _ in range(stage.num_modules):
                 xs = HRModule(stage, c.with_cbam, **kw)(xs, train)
-            pre_channels = out_channels
 
         # Head (seg_hrnet3.py:357-386 + forward :507-518).
         h0, w0 = xs[0].shape[1:3]

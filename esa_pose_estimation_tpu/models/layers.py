@@ -16,6 +16,9 @@ Re-designs of the reference's torch modules:
   using shard_map/pmap explicitly.
 
 PyTorch BN momentum 0.01 == Flax momentum 0.99 (complementary conventions).
+The reference mixes two momenta: residual-block bodies keep the torch
+DEFAULT 0.1 (= Flax 0.9), while stem/downsample/fuse/transition/head BNs
+use BN_MOMENTUM=0.01 (= Flax 0.99) — reproduced per-site below.
 """
 
 from __future__ import annotations
@@ -205,10 +208,13 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        out = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
-                     axis_name=self.axis_name)(x, train)
-        out = ConvBN(self.features, 3, 1, relu=False, dtype=self.dtype,
-                     axis_name=self.axis_name)(out, train)
+        # Reference parity: the block's own BNs run at torch-default
+        # momentum 0.1 (= Flax 0.9, seg_hrnet3.py:69-72 pass no momentum);
+        # only the downsample uses BN_MOMENTUM=0.01 (seg_hrnet3.py:432).
+        out = ConvBN(self.features, 3, self.stride, bn_momentum=0.9,
+                     dtype=self.dtype, axis_name=self.axis_name)(x, train)
+        out = ConvBN(self.features, 3, 1, relu=False, bn_momentum=0.9,
+                     dtype=self.dtype, axis_name=self.axis_name)(out, train)
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = ConvBN(self.features, 1, self.stride, relu=False,
                               dtype=self.dtype,
@@ -231,12 +237,14 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = x
         out_ch = self.features * 4
-        out = ConvBN(self.features, 1, 1, dtype=self.dtype,
+        # torch-default momentum in the block body (seg_hrnet3.py:108-113);
+        # BN_MOMENTUM=0.01 only in the downsample (seg_hrnet3.py:195-196)
+        out = ConvBN(self.features, 1, 1, bn_momentum=0.9, dtype=self.dtype,
                      axis_name=self.axis_name)(x, train)
-        out = ConvBN(self.features, 3, self.stride, dtype=self.dtype,
-                     axis_name=self.axis_name)(out, train)
-        out = ConvBN(out_ch, 1, 1, relu=False, dtype=self.dtype,
-                     axis_name=self.axis_name)(out, train)
+        out = ConvBN(self.features, 3, self.stride, bn_momentum=0.9,
+                     dtype=self.dtype, axis_name=self.axis_name)(out, train)
+        out = ConvBN(out_ch, 1, 1, relu=False, bn_momentum=0.9,
+                     dtype=self.dtype, axis_name=self.axis_name)(out, train)
         if self.stride != 1 or x.shape[-1] != out_ch:
             residual = ConvBN(out_ch, 1, self.stride, relu=False,
                               dtype=self.dtype,

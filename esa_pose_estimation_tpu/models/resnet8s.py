@@ -49,7 +49,8 @@ class ResBlock(nn.Module):
                            dtype=jnp.float32, axis_name=self.axis_name)(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             residual = ConvBN(self.features, 1, self.stride, relu=False,
-                              dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                              bn_momentum=0.9, dtype=self.dtype,
+                              axis_name=self.axis_name)(x, train)
         return nn.relu(out + residual.astype(out.dtype)).astype(self.dtype)
 
 
@@ -65,7 +66,7 @@ class ResBottleneck(nn.Module):
         residual = x
         out_ch = self.features * 4
         kw = dict(dtype=self.dtype, axis_name=self.axis_name)
-        out = ConvBN(self.features, 1, 1, **kw)(x, train)
+        out = ConvBN(self.features, 1, 1, bn_momentum=0.9, **kw)(x, train)
         pad = self.dilation
         out = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
                       padding=pad, kernel_dilation=(self.dilation,) * 2,
@@ -73,9 +74,11 @@ class ResBottleneck(nn.Module):
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            dtype=jnp.float32, axis_name=self.axis_name)(out)
         out = nn.relu(out).astype(self.dtype)
-        out = ConvBN(out_ch, 1, 1, relu=False, **kw)(out, train)
+        out = ConvBN(out_ch, 1, 1, relu=False, bn_momentum=0.9,
+                     **kw)(out, train)
         if self.stride != 1 or x.shape[-1] != out_ch:
-            residual = ConvBN(out_ch, 1, self.stride, relu=False, **kw)(x, train)
+            residual = ConvBN(out_ch, 1, self.stride, relu=False,
+                              bn_momentum=0.9, **kw)(x, train)
         return nn.relu(out + residual.astype(out.dtype)).astype(self.dtype)
 
 
@@ -117,7 +120,9 @@ class ResNetBackbone8s(nn.Module):
                           dilation=dilation, **kw)(x, train)
             feats.append(x)
         x4s, x8s = feats[0], feats[1]
-        xfc = ConvBN(self.fc_dim, 3, 1, **kw)(feats[3], train)
+        # reference resnet.py/net.py use torch-default BN momentum 0.1
+        # (= Flax 0.9) everywhere, including shortcuts (resnet.py:189)
+        xfc = ConvBN(self.fc_dim, 3, 1, bn_momentum=0.9, **kw)(feats[3], train)
         return x2s, x4s, x8s, xfc
 
 
@@ -213,10 +218,8 @@ def pvnet_loss(seg_logits: jnp.ndarray, vertex_pred: jnp.ndarray,
     from esa_pose_estimation_tpu.ops.vertex import vertex_loss
 
     labels = mask.astype(jnp.int32)
-    seg_ce = jnp.mean(
-        -jax.nn.log_softmax(seg_logits, axis=-1)[
-            ..., 0] * (1 - labels)
-        - jax.nn.log_softmax(seg_logits, axis=-1)[..., 1] * labels)
+    ls = jax.nn.log_softmax(seg_logits, axis=-1)
+    seg_ce = jnp.mean(-ls[..., 0] * (1 - labels) - ls[..., 1] * labels)
     b, h, w, _ = vertex_pred.shape
     k = vertex_target.shape[-2]
     vp = vertex_pred.reshape(b, h, w, k, 2)

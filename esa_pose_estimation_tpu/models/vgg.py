@@ -28,7 +28,9 @@ CFGS: dict[str, tuple] = {
 
 
 class VGGFeatures(nn.Module):
-    """VGG conv trunk.  Returns the feature maps after each pool stage."""
+    """VGG conv trunk.  Returns one feature map per stage: the PRE-pool
+    activation of each conv block (conv*_N, e.g. stages[3] is the
+    stride-8 conv4_3 map for vgg16), plus the final post-pool map."""
     cfg: str = 'vgg16'
     batch_norm: bool = False
     dtype: Dtype = jnp.float32

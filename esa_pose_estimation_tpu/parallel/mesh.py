@@ -29,10 +29,25 @@ MODEL_AXIS = 'model'
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
               devices: list[jax.Device] | None = None) -> Mesh:
-    """Build a (data, model) mesh over the available devices."""
+    """Build a (data, model) mesh over the available devices.
+
+    The requested factorization must use EVERY given device: silently
+    idling chips (len(devices) % n_model != 0) looks like a throughput
+    regression, and an over-large n_model yields an empty mesh whose
+    failure would only surface later as a cryptic GSPMD error.
+    """
     devices = devices if devices is not None else jax.devices()
+    if n_model < 1 or n_model > len(devices):
+        raise ValueError(f'n_model={n_model} with {len(devices)} devices')
     if n_data is None:
+        if len(devices) % n_model:
+            raise ValueError(
+                f'{len(devices)} devices do not factor into n_model='
+                f'{n_model} (pass n_data or a device subset explicitly)')
         n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(f'mesh {n_data}x{n_model} needs '
+                         f'{n_data * n_model} devices, have {len(devices)}')
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -31,7 +31,17 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def save(self, name: str, state, epoch: int) -> None:
-        """Save under an alias name ('last', 'best_tran', epoch number...)."""
+        """Save under an alias name ('last', 'best_tran', epoch number...).
+
+        Crash-safe alias replacement: the new checkpoint is fully written
+        under ``<name>.new`` first, then swapped in via directory renames.
+        A plain force-overwrite deletes the old checkpoint before the new
+        one is finalized, so a preemption mid-save would silently restart
+        training from epoch 0 (and then clobber the best aliases).
+        ``restore`` falls back to ``<name>.old`` for the rename window.
+        """
+        import shutil
+
         payload = {
             'params': state.params,
             'batch_stats': state.batch_stats,
@@ -39,7 +49,14 @@ class CheckpointManager:
             'epoch': epoch,
         }
         path = self._path(str(name))
-        self._ckptr.save(path, jax.device_get(payload), force=True)
+        tmp, old = path + '.new', path + '.old'
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._ckptr.save(tmp, jax.device_get(payload), force=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def restore(self, name: str, state):
         """Restore into an existing TrainState template.  Returns
@@ -47,7 +64,11 @@ class CheckpointManager:
         load_model returns 0 on a missing dir, main.py:185-195)."""
         path = self._path(str(name))
         if not os.path.exists(path):
-            return state, 0
+            # crash window in save(): old alias renamed away, new not yet in
+            if os.path.exists(path + '.old'):
+                path = path + '.old'
+            else:
+                return state, 0
         template = {
             'params': state.params,
             'batch_stats': state.batch_stats,

@@ -30,11 +30,26 @@ class TrainState(train_state.TrainState):
 
 def lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
     """Stepped schedule: lr_values[i] from epoch lr_boundaries[i-1]
-    (reference: main.py:298-299 — absolute values, not decay factors)."""
-    boundaries_and_scales = {}
+    (reference: main.py:298-299 — absolute values, not decay factors).
+
+    Duplicate boundaries (short runs rescale epochs and can collide, e.g.
+    --epochs 2 -> boundaries (2, 2, 3)) COMPOSE their scales at the shared
+    step instead of silently overwriting — every prescribed decade of
+    decay is applied.  Mismatched value/boundary counts are an error, not
+    a silent truncation.
+    """
+    if len(cfg.lr_values) != len(cfg.lr_boundaries) + 1:
+        raise ValueError(
+            f'need len(lr_values) == len(lr_boundaries) + 1, got '
+            f'{len(cfg.lr_values)} values / {len(cfg.lr_boundaries)} '
+            f'boundaries')
+    boundaries_and_scales: dict[int, float] = {}
     prev = cfg.lr_values[0]
     for epoch, value in zip(cfg.lr_boundaries, cfg.lr_values[1:]):
-        boundaries_and_scales[epoch * steps_per_epoch] = value / prev
+        step = epoch * steps_per_epoch
+        scale = value / prev
+        boundaries_and_scales[step] = boundaries_and_scales.get(step,
+                                                                1.0) * scale
         prev = value
     return optax.piecewise_constant_schedule(cfg.lr_values[0],
                                              boundaries_and_scales)

@@ -39,3 +39,28 @@ def test_pipeline_shards_over_data_axis():
     assert np.isfinite(np.asarray(out.trans)).all()
     # outputs actually live distributed across all 8 devices
     assert len(out.trans.sharding.device_set) == 8
+
+
+def test_sharded_eval_step_runs_and_shards_output():
+    """make_sharded_eval_step: replicated state + data-sharded batch ->
+    data-sharded heatmaps and a replicated finite loss."""
+    from esa_pose_estimation_tpu.parallel import replicate, shard_batch
+    from esa_pose_estimation_tpu.train import state as state_mod
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    cfg = cfg_mod.TrainConfig(batch_size=16, crop_size=32)
+    model = HRNet(cfg_mod.hrnet_tiny())
+    st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                      (1, 32, 32, 1))
+    pts = synthetic.spacecraft_points(6)
+    batch = synthetic.make_batch(jax.random.PRNGKey(1), 16, pts,
+                                 crop_size=32)
+    batch = {k: batch[k] for k in ('image', 'heatmaps', 'weights')}
+
+    step = state_mod.make_sharded_eval_step(mesh)
+    st = replicate(st, mesh)
+    out, loss = step(st, shard_batch(batch, mesh))
+    assert np.isfinite(float(loss))
+    assert out.shape[0] == 16
+    # output batch axis is sharded over the 8-device data axis
+    assert len(out.sharding.device_set) == 8
