@@ -255,6 +255,7 @@ def bench_two_stage(detector_ckpt: str | None,
     @jax.jit
     def two_stage(det_vars, variables, frames, points_3d, key):
         bboxes, _ = detect_frames(det, det_vars, frames,
+                                  detector_stride=det.stride,
                                   detector_downscale=downscale,
                                   box_expand=1.1)
         return pipeline(variables, frames, bboxes, points_3d, key)

@@ -65,7 +65,7 @@ def main(argv=None):
         jax.random.PRNGKey(0),
         (1, args.crop_size, args.crop_size, 1))
     ckpt = CheckpointManager(os.path.join(args.workdir, 'net_esa'))
-    st, epoch = ckpt.restore(args.checkpoint, st)
+    st, epoch = ckpt.restore_required(args.checkpoint, st)
     print(f'# loaded {args.checkpoint} (epoch {epoch - 1})')
     variables = {'params': st.params, 'batch_stats': st.batch_stats}
     points_3d = synthetic.spacecraft_points(model_cfg.num_keypoints)
@@ -96,6 +96,7 @@ def main(argv=None):
 
         def detect(frames):
             boxes, _ = detect_frames(det, det_vars, frames,
+                                     detector_stride=det.stride,
                                      detector_downscale=ds, box_expand=1.1)
             return boxes
 

@@ -64,7 +64,7 @@ def main(argv=None):
     st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(0),
                                       (1, args.crop_size, args.crop_size, 1))
     ckpt = CheckpointManager(f'{args.workdir}/net_esa')
-    st, epoch = ckpt.restore(args.checkpoint, st)
+    st, epoch = ckpt.restore_required(args.checkpoint, st)
     print(f'loaded checkpoint {args.checkpoint} (epoch {epoch - 1})')
     variables = {'params': st.params, 'batch_stats': st.batch_stats}
 

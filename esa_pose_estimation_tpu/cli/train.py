@@ -212,9 +212,17 @@ def train(args) -> dict:
                  type='log', classname=class_name)
         events.log('epoch', epoch=epoch + 1, lr=lr, loss=losses.avg,
                    seconds=time.time() - t0)
-        best = ckpt.save_rolling(st, epoch)
+        # 'last' + best gating happen in ONE save_rolling per epoch: the
+        # scores (if this is an eval epoch) are passed below, and `best`
+        # must thread through every call — a bare call here used to
+        # rebind it to {}, which degraded best_tran/best_rotate to
+        # "most recent eval epoch" instead of the metric-gated minimum.
+        is_eval = (epoch > cfg.eval_after
+                   or epoch % cfg.eval_every == cfg.eval_every - 1)
+        if not is_eval:
+            best = ckpt.save_rolling(st, epoch, best=best)
 
-        if epoch > cfg.eval_after or epoch % cfg.eval_every == cfg.eval_every - 1:
+        if is_eval:
             variables = {'params': st.params, 'batch_stats': st.batch_stats}
             if use_shard:
                 import itertools

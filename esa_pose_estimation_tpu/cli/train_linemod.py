@@ -50,8 +50,25 @@ from esa_pose_estimation_tpu.ops import peak as peak_ops
 from esa_pose_estimation_tpu.ops import pnp as pnp_mod
 from esa_pose_estimation_tpu.ops import vertex as vertex_ops
 from esa_pose_estimation_tpu.ops import voting as voting_ops
+from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
 from esa_pose_estimation_tpu.train.loss import weighted_heatmap_loss
 from esa_pose_estimation_tpu.utils import render
+
+
+import dataclasses
+from typing import Any
+
+
+@dataclasses.dataclass
+class _CkptState:
+    """Minimal TrainState-shaped shim for CheckpointManager (this CLI
+    threads raw params/batch_stats/opt_state through its jitted step)."""
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
 
 
 def synthetic_linemod_batch(key, batch_size, db, model_pts, faces, kp3d,
@@ -287,6 +304,18 @@ def train(args) -> dict:
     logger.set_names(['Epoch', 'LR', 'Train Loss'])
     events = JsonlLogger(os.path.join(args.workdir, 'events.jsonl'))
 
+    # last/best_add checkpoints + crash resume (reference net_<cls>/
+    # convention, main.py:176-204; without this a multi-hour real-data
+    # run's weights died with the process)
+    ckpt = CheckpointManager(os.path.join(args.workdir, f'net_{args.cls}'))
+    st0, begin_epoch = ckpt.restore(
+        'last', _CkptState(params, batch_stats, opt_state))
+    params, batch_stats, opt_state = (st0.params, st0.batch_stats,
+                                      st0.opt_state)
+    if begin_epoch:
+        print(f'resumed from epoch {begin_epoch}')
+    best_add = -1.0
+
     def batch_inputs(batch):
         src = batch.get('image', batch['mask'])
         return jnp.repeat(src[..., None], 3, axis=-1)
@@ -322,7 +351,7 @@ def train(args) -> dict:
     if use_real:
         real_step = make_real_step(model, args.mode, size,
                                    args.num_keypoints, tx)
-        for epoch in range(args.epochs):
+        for epoch in range(begin_epoch, args.epochs):
             loader = linemod_data.LinemodBatchLoader(
                 train_records, args.image_root, args.cls, args.batch_size,
                 shuffle=True, seed=args.seed + epoch,
@@ -350,6 +379,12 @@ def train(args) -> dict:
             print(f"  2D-proj {result['projection_2d']:.3f}  "
                   f"ADD {result['add']:.3f}  "
                   f"5cm5deg {result['cm_degree_5']:.3f}")
+            ckpt.save('last', _CkptState(params, batch_stats, opt_state),
+                      epoch)
+            if result['add'] > best_add:
+                best_add = result['add']
+                ckpt.save('best_add',
+                          _CkptState(params, batch_stats, opt_state), epoch)
 
         if args.occ_pkl_dir:
             # OCCLUSION_LINEMOD eval (result_show.py:95-98,378 parity)
@@ -377,7 +412,7 @@ def train(args) -> dict:
         events.close()
         return result
 
-    for epoch in range(args.epochs):
+    for epoch in range(begin_epoch, args.epochs):
         losses = []
         for i in range(args.steps_per_epoch):
             bkey = jax.random.fold_in(key, epoch * 10000 + i)
@@ -433,6 +468,11 @@ def train(args) -> dict:
         events.log('eval', epoch=epoch + 1, **result)
         print(f"  2D-proj {result['projection_2d']:.3f}  "
               f"ADD {result['add']:.3f}  5cm5deg {result['cm_degree_5']:.3f}")
+        ckpt.save('last', _CkptState(params, batch_stats, opt_state), epoch)
+        if result['add'] > best_add:
+            best_add = result['add']
+            ckpt.save('best_add',
+                      _CkptState(params, batch_stats, opt_state), epoch)
     logger.close()
     events.close()
     return result

@@ -34,7 +34,13 @@ def build_library(force: bool = False) -> str:
         os.makedirs(_BUILD_DIR, exist_ok=True)
         cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17', _SRC,
                '-o', _LIB_PATH, '-lpng', '-lz', '-lpthread']
-        subprocess.run(cmd, check=True, capture_output=True)
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            # surface the compiler/linker diagnostics (a bare
+            # CalledProcessError hides e.g. a missing libpng-dev)
+            raise RuntimeError(
+                f'native loader build failed (rc={proc.returncode}):\n'
+                f'$ {" ".join(cmd)}\n{proc.stderr}')
         return _LIB_PATH
 
 
@@ -89,6 +95,7 @@ class NativeBatchLoader:
                  n_threads: int = 4, shuffle: bool = True, seed: int = 0,
                  drop_last: bool = True, crop_size: int | None = None):
         self.meta = read_meta(shard_path)
+        self.path = shard_path
         self.batch_size = batch_size
         self.crop_size = int(crop_size) if crop_size else 0
         self._handle = _lib().loader_open2(
@@ -139,6 +146,10 @@ class NativeBatchLoader:
                     self._handle,
                     frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     *tail)
+            if count < 0:
+                raise RuntimeError(
+                    f'native loader I/O or decode error reading '
+                    f'{self.path!r} (corrupt/truncated shard?)')
             if count == 0:
                 return
             name_list = [

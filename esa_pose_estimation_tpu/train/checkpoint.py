@@ -30,6 +30,24 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
 
+    def exists(self, name: str) -> bool:
+        p = self._path(str(name))
+        return os.path.exists(p) or os.path.exists(p + '.old')
+
+    def restore_required(self, name: str, state):
+        """restore(), but a MISSING checkpoint is an error.
+
+        The plain restore's (state, 0) absence contract is right for
+        training resume; eval/submission CLIs must not silently proceed
+        on randomly-initialized weights (they would export a leaderboard
+        CSV from noise with exit code 0).
+        """
+        if not self.exists(name):
+            raise FileNotFoundError(
+                f'checkpoint {name!r} not found under {self.directory} '
+                f'(available: {sorted(os.listdir(self.directory))})')
+        return self.restore(name, state)
+
     def save(self, name: str, state, epoch: int) -> None:
         """Save under an alias name ('last', 'best_tran', epoch number...).
 

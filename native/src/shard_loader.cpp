@@ -74,7 +74,6 @@ struct RecordHeader {
 
 struct RecordIndex {
   uint64_t offset;  // file offset of RecordHeader
-  uint32_t payload_size;
 };
 
 struct MemReader {
@@ -181,6 +180,14 @@ CropBox esa_crop_box(const float* bbox, int img_w, int img_h, double k) {
   cb.y0 = static_cast<int>(y_new);
   cb.xs = static_cast<int>(w_new - x_new);
   cb.ys = static_cast<int>(h_new - y_new);
+  // Degenerate (zero-area / inverted / out-of-frame) boxes must not
+  // produce negative extents: scale 0 and xs-1 == -1 would index before
+  // the buffer in resample_crop (the Python tent-weight path is finite
+  // on the same input).  Clamp to a 1px in-frame window.
+  cb.x0 = std::min(std::max(cb.x0, 0), img_w - 1);
+  cb.y0 = std::min(std::max(cb.y0, 0), img_h - 1);
+  cb.xs = std::min(std::max(cb.xs, 1), img_w - cb.x0);
+  cb.ys = std::min(std::max(cb.ys, 1), img_h - cb.y0);
   cb.size = std::max(cb.xs, cb.ys);
   return cb;
 }
@@ -267,6 +274,7 @@ class Loader {
     next_batch_start_ = 0;
     epoch_done_ = false;
     stopping_ = false;
+    error_ = false;
     producer_ = std::thread([this] { produce(); });
   }
 
@@ -275,7 +283,7 @@ class Loader {
            float* trans, char* names) {
     std::unique_lock<std::mutex> lk(mu_);
     cv_ready_.wait(lk, [this] { return !ready_.empty() || epoch_done_; });
-    if (ready_.empty()) return 0;
+    if (ready_.empty()) return error_ ? -1 : 0;
     std::unique_ptr<Batch> b = std::move(ready_.front());
     ready_.pop();
     lk.unlock();
@@ -304,7 +312,7 @@ class Loader {
                    float* kp2d, float* quat, float* trans, char* names) {
     std::unique_lock<std::mutex> lk(mu_);
     cv_ready_.wait(lk, [this] { return !ready_.empty() || epoch_done_; });
-    if (ready_.empty()) return 0;
+    if (ready_.empty()) return error_ ? -1 : 0;
     std::unique_ptr<Batch> b = std::move(ready_.front());
     ready_.pop();
     lk.unlock();
@@ -423,8 +431,12 @@ class Loader {
                 io_error.store(true);
                 return;
               }
-              decode_png_gray(scratch.data(), px_size, frame_scratch.data(),
-                              hdr_.height, hdr_.width);
+              if (!decode_png_gray(scratch.data(), px_size,
+                                   frame_scratch.data(), hdr_.height,
+                                   hdr_.width)) {
+                io_error.store(true);  // corrupt PNG: stale pixels would
+                return;                // pair with THIS record's labels
+              }
               src = frame_scratch.data() +
                     static_cast<size_t>(cb.y0) * hdr_.width;
             } else {
@@ -453,8 +465,11 @@ class Loader {
               io_error.store(true);
               return;
             }
-            decode_png_gray(scratch.data(), px_size, dst, hdr_.height,
-                            hdr_.width);
+            if (!decode_png_gray(scratch.data(), px_size, dst, hdr_.height,
+                                 hdr_.width)) {
+              io_error.store(true);
+              return;
+            }
           } else {
             if (!pread_full(fd_, dst, std::min(px_size, frame_bytes),
                             px_off)) {
@@ -468,7 +483,13 @@ class Loader {
       for (int t = 0; t < n_threads_ - 1; ++t) pool.emplace_back(work);
       work();
       for (auto& t : pool) t.join();
-      if (io_error.load()) break;
+      if (io_error.load()) {
+        // An I/O or decode error must NOT look like a clean end of
+        // epoch: record it so next() can return -1 instead of 0.
+        std::lock_guard<std::mutex> lk(mu_);
+        error_ = true;
+        break;
+      }
 
       std::unique_lock<std::mutex> lk(mu_);
       cv_space_.wait(lk, [this] { return ready_.size() < 3 || stopping_; });
@@ -501,6 +522,7 @@ class Loader {
   std::thread producer_;
   bool epoch_done_ = false;
   bool stopping_ = false;
+  bool error_ = false;  // producer hit an I/O or decode failure
   size_t next_batch_start_ = 0;
 };
 
@@ -527,7 +549,7 @@ void* loader_open2(const char* path, int batch_size, int n_threads,
       ::close(fd);
       return nullptr;
     }
-    index.push_back({off, rh.payload_size});
+    index.push_back({off});
     off += sizeof(RecordHeader) + rh.payload_size;
   }
   return new Loader(fd, hdr, std::move(index), batch_size, n_threads,

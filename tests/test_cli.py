@@ -104,6 +104,19 @@ class TestSubmitCli:
 
         workdir = str(tmp_path / 'run3')
         os.makedirs(workdir)
+        # submit now *requires* a checkpoint (restore_required) — seed the
+        # workdir with an init-weight 'last' so the smoke stays a pipeline
+        # test, not a quality test.
+        from esa_pose_estimation_tpu.models.hrnet import HRNet
+        from esa_pose_estimation_tpu.train import state as state_mod
+        from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
+        from esa_pose_estimation_tpu.utils import config as cfg_mod
+        st0 = state_mod.create_train_state(
+            HRNet(cfg_mod.hrnet_tiny(), dtype=jnp.bfloat16),
+            cfg_mod.TrainConfig(crop_size=32),
+            jax.random.PRNGKey(0), (1, 32, 32, 1))
+        CheckpointManager(os.path.join(workdir, 'net_esa')).save(
+            'last', st0, 0)
         path = submit_cli.main([
             '--workdir', workdir, '--tiny', '--test-pkl', str(pkl),
             '--image-root', str(img_dir), '--batch-size', '4',

@@ -1,6 +1,8 @@
 """Native shard loader tests: build the C++ library, write synthetic
 shards (raw + PNG), read them back, verify contents/shuffling/epochs."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -181,3 +183,22 @@ class TestHostCrop:
         np.testing.assert_allclose(batch['crop'], np.asarray(ref_crops),
                                    atol=0.05)
         loader.close()
+
+
+def test_truncated_shard_raises_not_silent_epoch_end(tmp_path):
+    """An I/O error mid-epoch must raise, not masquerade as a clean
+    (short) epoch — silent truncation corrupts steps_per_epoch/LR."""
+    from esa_pose_estimation_tpu.data import shards
+    from esa_pose_estimation_tpu.data.native_loader import NativeBatchLoader
+
+    path = str(tmp_path / 'trunc.spd1')
+    shards.write_synthetic_shard(path, 8, height=32, width=48)
+    full = os.path.getsize(path)
+    with open(path, 'r+b') as f:
+        f.truncate(full - 1000)       # chop the tail off the last records
+
+    loader = NativeBatchLoader(path, 2, n_threads=2, shuffle=False)
+    with pytest.raises(RuntimeError, match='decode error|I/O'):
+        for _ in loader:
+            pass
+    loader.close()
