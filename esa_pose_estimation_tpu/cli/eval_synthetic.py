@@ -91,7 +91,10 @@ def main(argv=None):
         ddir = os.path.join(args.detector_workdir, 'net_detector')
         name = 'best_iou' if os.path.exists(
             os.path.join(ddir, 'best_iou')) else 'last'
-        dst, _ = CheckpointManager(ddir).restore(name, dst)
+        # required: random detector weights would print badly degraded
+        # pose scores with exit code 0 (same failure mode the keypoint
+        # net's restore_required guards against)
+        dst, _ = CheckpointManager(ddir).restore_required(name, dst)
         det_vars = {'params': dst.params, 'batch_stats': dst.batch_stats}
 
         def detect(frames):

@@ -40,6 +40,7 @@ from esa_pose_estimation_tpu.obs import JsonlLogger, TcpPusher, TsvLogger
 from esa_pose_estimation_tpu.parallel import make_mesh, replicate, shard_batch
 from esa_pose_estimation_tpu.pipeline import infer_poses
 from esa_pose_estimation_tpu.train import state as state_mod
+from esa_pose_estimation_tpu.train import checkpoint as checkpoint_mod
 from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
 from esa_pose_estimation_tpu.utils import config as cfg_mod
 
@@ -167,7 +168,10 @@ def train(args) -> dict:
     st = replicate(st, mesh)
     sched = state_mod.lr_schedule(cfg, steps_per_epoch)
 
-    best: dict[str, float] = {}
+    # resume-safe best gates: seed the running minima from the sidecar so
+    # a restarted run cannot clobber best_tran/best_rotate with worse
+    # weights on its first eval
+    best: dict[str, float] = ckpt.load_best()
     result = {}
     key = jax.random.PRNGKey(1234)
     for epoch in range(begin_epoch, cfg.num_epochs):
@@ -212,15 +216,16 @@ def train(args) -> dict:
                  type='log', classname=class_name)
         events.log('epoch', epoch=epoch + 1, lr=lr, loss=losses.avg,
                    seconds=time.time() - t0)
-        # 'last' + best gating happen in ONE save_rolling per epoch: the
-        # scores (if this is an eval epoch) are passed below, and `best`
-        # must thread through every call — a bare call here used to
-        # rebind it to {}, which degraded best_tran/best_rotate to
-        # "most recent eval epoch" instead of the metric-gated minimum.
+        # 'last' is saved BEFORE the eval (a crash mid-eval must not lose
+        # the epoch's training work — with a deterministic eval failure
+        # the run would otherwise loop on re-training the same epoch
+        # forever); the best aliases are gated after the eval with `best`
+        # threaded through every call (a bare call here used to rebind it
+        # to {}, degrading best_tran/best_rotate to "most recent eval
+        # epoch" instead of the metric-gated minimum).
+        ckpt.save(checkpoint_mod.LAST, st, epoch)
         is_eval = (epoch > cfg.eval_after
                    or epoch % cfg.eval_every == cfg.eval_every - 1)
-        if not is_eval:
-            best = ckpt.save_rolling(st, epoch, best=best)
 
         if is_eval:
             variables = {'params': st.params, 'batch_stats': st.batch_stats}
@@ -260,7 +265,7 @@ def train(args) -> dict:
             best = ckpt.save_rolling(st, epoch,
                                      score_tran=result['score_t'],
                                      score_rotate=result['score_r'],
-                                     best=best)
+                                     best=best, save_last=False)
             events.log('eval', epoch=epoch + 1, **result)
             tcp.send('\t'.join(str(v) for v in
                                [class_name, epoch, result['score_t'],

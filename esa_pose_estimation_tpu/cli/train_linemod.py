@@ -300,7 +300,8 @@ def train(args) -> dict:
     tx = optax.adam(optax.cosine_decay_schedule(args.lr, total_steps, 0.01))
     opt_state = tx.init(params)
 
-    logger = TsvLogger(os.path.join(args.workdir, f'log_{args.cls}.txt'))
+    logger = TsvLogger(os.path.join(args.workdir, f'log_{args.cls}.txt'),
+                       resume=True)  # a crash restart must append, not wipe
     logger.set_names(['Epoch', 'LR', 'Train Loss'])
     events = JsonlLogger(os.path.join(args.workdir, 'events.jsonl'))
 
@@ -314,7 +315,10 @@ def train(args) -> dict:
                                       st0.opt_state)
     if begin_epoch:
         print(f'resumed from epoch {begin_epoch}')
-    best_add = -1.0
+    # resume-safe best gate: seeded from the sidecar so a restart cannot
+    # clobber best_add with worse weights on its first eval
+    best_scores = ckpt.load_best()
+    best_add = best_scores.get('best_add', -1.0)
 
     def batch_inputs(batch):
         src = batch.get('image', batch['mask'])
@@ -385,6 +389,7 @@ def train(args) -> dict:
                 best_add = result['add']
                 ckpt.save('best_add',
                           _CkptState(params, batch_stats, opt_state), epoch)
+                ckpt.store_best({**best_scores, 'best_add': best_add})
 
         if args.occ_pkl_dir:
             # OCCLUSION_LINEMOD eval (result_show.py:95-98,378 parity)
@@ -473,6 +478,7 @@ def train(args) -> dict:
             best_add = result['add']
             ckpt.save('best_add',
                       _CkptState(params, batch_stats, opt_state), epoch)
+            ckpt.store_best({**best_scores, 'best_add': best_add})
     logger.close()
     events.close()
     return result

@@ -113,6 +113,99 @@ def cho_solve_small(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(xs, axis=-2)
 
 
+def _det3(a: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 determinant."""
+    return (a[..., 0, 0] * (a[..., 1, 1] * a[..., 2, 2]
+                            - a[..., 1, 2] * a[..., 2, 1])
+            - a[..., 0, 1] * (a[..., 1, 0] * a[..., 2, 2]
+                              - a[..., 1, 2] * a[..., 2, 0])
+            + a[..., 0, 2] * (a[..., 1, 0] * a[..., 2, 1]
+                              - a[..., 1, 1] * a[..., 2, 0]))
+
+
+def eigvals3_sym(A: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray,
+                                          jnp.ndarray]:
+    """Eigenvalues of a batched symmetric 3x3, closed form (trig method).
+
+    Returns ``(lmin, lmid, lmax)``, each shaped like ``A[..., 0, 0]``.
+    Straight-line math (no QDWH/eigh custom call); exact up to f32
+    rounding of the characteristic polynomial.
+    """
+    q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
+    B = A - q[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    p = jnp.sqrt(jnp.maximum(jnp.sum(B * B, axis=(-2, -1)) / 6.0, 0.0))
+    safe_p = jnp.maximum(p, 1e-30)
+    # normalize BEFORE the determinant: det(B)/p^3 as written would form
+    # 2e-90, which flushes to 0 in f32 and turns isotropic/zero inputs
+    # (p = 0, det = 0) into 0/0 = NaN through arccos
+    r = jnp.clip(_det3(B / safe_p[..., None, None]) / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lmax = q + 2.0 * p * jnp.cos(phi)
+    lmin = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    return lmin, 3.0 * q - lmax - lmin, lmax
+
+
+def smallest_eigvec3(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of a batched symmetric
+    3x3 matrix. (..., 3, 3) -> (..., 3). Branch-free closed form.
+
+    Fixed-iteration inverse iteration (``ops.epnp.smallest_eigvecs``) does
+    NOT converge when the two smallest eigenvalues are close — measured on
+    reflected Kabsch covariances, 53/2000 random cases returned a vector
+    up to 90 degrees off, which silently broke the mirror-pose rescue
+    path.  This instead takes the exact eigenvalue from
+    :func:`eigvals3_sym` and reads the null space of ``C = A - lmin*I``
+    off cross products of its rows (the largest of the three; rank(C)=2
+    for a simple eigenvalue).  Degenerate cases fall back branch-freely:
+
+    * ``lmin`` repeated (C rank 1): any unit vector orthogonal to C's
+      largest row spans the eigenplane — every choice is an eigenvector,
+      and for the Kabsch det<0 correction every choice yields an equally
+      near rotation.
+    * triple eigenvalue (A ~ l*I, C ~ 0): every unit vector works; e_x.
+    """
+    lmin, _, lmax = eigvals3_sym(A)
+    scale = jnp.maximum(jnp.maximum(jnp.abs(lmin), jnp.abs(lmax)), 1e-30)
+    C = A - lmin[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    r0, r1, r2 = C[..., 0, :], C[..., 1, :], C[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    best = jnp.where((n02 > n01)[..., None], c02, c01)
+    bestn = jnp.maximum(n01, n02)
+    best = jnp.where((n12 > bestn)[..., None], c12, best)
+    bestn = jnp.maximum(bestn, n12)
+
+    # rank-1 fallback: largest row of C is ~ the lmax eigendirection u;
+    # cross with the coordinate axis least aligned to u gives a unit
+    # vector in the (repeated-lmin) eigenplane.
+    rn0 = jnp.sum(r0 * r0, axis=-1)
+    rn1 = jnp.sum(r1 * r1, axis=-1)
+    rn2 = jnp.sum(r2 * r2, axis=-1)
+    u = jnp.where((rn1 > rn0)[..., None], r1, r0)
+    un = jnp.maximum(rn0, rn1)
+    u = jnp.where((rn2 > un)[..., None], r2, u)
+    un = jnp.maximum(un, rn2)
+    ex = jnp.zeros_like(u).at[..., 0].set(1.0)
+    ey = jnp.zeros_like(u).at[..., 1].set(1.0)
+    axis = jnp.where(
+        (jnp.abs(u[..., 0]) ** 2 < 0.8 * un)[..., None], ex, ey)
+    plane = jnp.cross(u, axis)
+
+    # trust the cross product when it clears f32 rounding of C (entries
+    # carry ~eps*scale error, so cross products carry ~eps*scale^2; row
+    # norms carry ~eps*scale)
+    cross_tol2 = (1e-5 * scale * scale) ** 2
+    row_tol2 = (1e-5 * scale) ** 2
+    v = jnp.where((bestn > cross_tol2)[..., None], best,
+                  jnp.where((un > row_tol2)[..., None], plane, ex))
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                           1e-30)
+
+
 def solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Dense solve for small systems (<= 12x12), batched."""
     if a.shape[-1] == 3:

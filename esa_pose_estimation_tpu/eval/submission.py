@@ -48,6 +48,9 @@ class SubmissionWriter:
                              key=lambda k: k['filename'])
         if suffix is None:
             suffix = datetime.now().strftime('%Y%m%d-%H%M')
+        if out_dir:
+            # don't lose a full inference sweep to a missing directory
+            os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f'submission_{suffix}.csv')
         with open(path, 'w') as f:
             writer = csv.writer(f, lineterminator='\n')

@@ -10,8 +10,9 @@ demo.py:261 / val.py:194).  Design points that differ from an OpenCV port:
   become weight masks over the same static-(N) arrays.
 * **Natively batched, flat leading dim, no eigh/svd in the hot path** —
   the 12x12 null-space extraction uses shifted inverse iteration
-  (``core.linalg.smallest_eigvecs``) and the 3x3 rotation fit uses Newton
-  polar decomposition (``core.linalg.polar_rotation``); both are batched
+  (:func:`smallest_eigvecs` below) and the 3x3 rotation fit uses Newton
+  polar decomposition (:func:`polar_rotation` below, with a closed-form
+  ``core.linalg.smallest_eigvec3`` reflection fix); both are batched
   matmul/solve chains that run on ONE flattened batch axis.  General
   ``eigh``/``svd`` under nested ``vmap`` lower to per-element loops on TPU
   (measured ~1000x slower), which is exactly what this formulation avoids.
@@ -101,9 +102,13 @@ def polar_rotation(M: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
         X = 0.5 * (g * X + Xi_t / g)
     # Kabsch correction: reflect along the least principal direction of
     # M^T M (the right singular vector of the smallest singular value).
+    # Closed-form eigensolve, NOT fixed-iteration inverse iteration: the
+    # latter under-converges when M's two smallest singular values are
+    # close (53/2000 random reflected inputs came back with the wrong
+    # reflection axis, up to ~90 deg of rotation error — exactly the
+    # weak-perspective regime the det<0 branch exists to repair).
     MtM = linalg.einsum('...ji,...jk->...ik', M, M)
-    v = smallest_eigvecs(MtM, k=1, iters=8)[..., 0]      # (..., 3)
-    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    v = linalg.smallest_eigvec3(MtM)                     # (..., 3), unit
     refl = jnp.eye(3, dtype=M.dtype) - 2.0 * v[..., :, None] * v[..., None, :]
     X_fixed = linalg.matmul(X, refl)
     return jnp.where((det < 0)[..., None, None], X_fixed, X)

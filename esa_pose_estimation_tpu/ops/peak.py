@@ -173,6 +173,11 @@ def taylor_refine_nhwc(heatmaps: jnp.ndarray, coords: jnp.ndarray,
 # NHWC path below, False = transpose + NCHW Pallas kernel on TPU.  Default
 # False until the NHWC path is benchmarked against the ~2.3 ms/step of
 # layout copies it avoids (bench.py --nhwc-decode).
+#
+# TRACE-TIME flag: jitted callers bake the chosen path into their compiled
+# executable and jax does not key its cache on this global — flip it
+# BEFORE building/first-calling a jitted pipeline (as the bench does), not
+# between calls to an already-compiled one (silently a no-op there).
 NHWC_DECODE: bool = False
 
 

@@ -429,18 +429,6 @@ def ransac_epnp(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     return PnPResult(R=R, t=t, inliers=final_inl, cost=cost)
 
 
-def ransac_epnp_single(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
-                       K: jnp.ndarray, key: jax.Array,
-                       valid: jnp.ndarray | None = None,
-                       reproj_threshold: float = 5.0,
-                       n_hypotheses: int = 64,
-                       sample_size: int = 6,
-                       lm_iters: int = 10) -> PnPResult:
-    """Single-problem convenience wrapper around :func:`ransac_epnp`."""
-    return ransac_epnp(points_3d, points_2d, K, key, valid,
-                       reproj_threshold, n_hypotheses, sample_size, lm_iters)
-
-
 # ---------------------------------------------------------------------------
 # Full pipeline solve (reference demo.py:261-275 / val.py:194-209 semantics)
 # ---------------------------------------------------------------------------

@@ -367,7 +367,9 @@ def motion_voting(mask: jnp.ndarray, vertex: jnp.ndarray) -> jnp.ndarray:
     m = mask.reshape(b, h * w).astype(vertex.dtype)
     pts = vertex.reshape(b, h * w, k, 2) + grid
     wsum = m.sum(axis=1)[:, None, None]
-    mean = jnp.einsum('bp,bpki->bki', m, pts) / jnp.maximum(wsum, 1.0)
+    # eps floor only (the where() handles truly-empty masks): flooring at
+    # 1.0 would silently rescale soft masks whose total weight is < 1
+    mean = jnp.einsum('bp,bpki->bki', m, pts) / jnp.maximum(wsum, 1e-12)
     return jnp.where(wsum > 0, mean, 0.0)
 
 
@@ -482,7 +484,7 @@ def vanishing_point_voting(mask: jnp.ndarray, vertex: jnp.ndarray,
     mask: (B, H, W); vertex: (B, H, W, K, 2) -> (B, K, 3) unit-norm
     homogeneous winners.
     """
-    from esa_pose_estimation_tpu.ops.epnp import smallest_eigvecs
+    from esa_pose_estimation_tpu.core.linalg import smallest_eigvec3
 
     kg, kh = jax.random.split(key)
     coords, dirs, wt = _gather_foreground(mask, vertex, kg, n_points)
@@ -516,7 +518,9 @@ def vanishing_point_voting(mask: jnp.ndarray, vertex: jnp.ndarray,
         votes = _vanishing_votes(win[:, None], coords, dirs, wt,
                                  inlier_threshold)[:, 0]        # (B, N, K)
         M = jnp.einsum('bnk,bnki,bnkj->bkij', votes, hrow, hrow)
-        refined = smallest_eigvecs(M, k=1)[..., 0]              # (B, K, 3)
+        # closed-form 3x3 smallest eigenvector (exact even when the two
+        # smallest eigenvalues nearly tie, unlike inverse iteration)
+        refined = smallest_eigvec3(M)                           # (B, K, 3)
         refined = refined / (jnp.linalg.norm(refined, axis=-1,
                                              keepdims=True) + _EPS)
         # orient toward the current winner; keep winner if degenerate

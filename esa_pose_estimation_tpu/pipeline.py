@@ -62,7 +62,9 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
     """
     if K is None:
         K = jnp.asarray(camera.SPEED_K, jnp.float32)
-    crops, rates, origins = crop_ops.crop_resize(frames, bboxes, crop_size)
+    crops, rates, origins = crop_ops.crop_resize(
+        frames, bboxes, crop_size,
+        img_w=frames.shape[2], img_h=frames.shape[1])
     x = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]
     hm = model.apply(variables, x, train=False)           # (B, S, S, K)
     coords, maxvals = peak_ops.decode_heatmaps_auto_nhwc(hm)

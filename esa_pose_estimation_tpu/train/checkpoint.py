@@ -99,19 +99,53 @@ class CheckpointManager:
                               opt_state=payload['opt_state'])
         return state, int(payload['epoch']) + 1
 
+    # Running best metrics are persisted in a sidecar so a crash resume
+    # does NOT restart the gates at +/-inf — without this, the first eval
+    # after a restart unconditionally overwrote the best aliases, i.e.
+    # resume destroyed exactly the checkpoints it exists to protect.
+    def _best_path(self) -> str:
+        return os.path.join(self.directory, 'best_scores.json')
+
+    def load_best(self) -> dict[str, float]:
+        """The persisted running-best metric dict ({} on fresh runs)."""
+        import json
+        try:
+            with open(self._best_path()) as f:
+                return {str(k): float(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def store_best(self, best: dict[str, float]) -> None:
+        """Atomically persist the running-best metric dict."""
+        import json
+        tmp = self._best_path() + '.tmp'
+        with open(tmp, 'w') as f:
+            json.dump(best, f)
+        os.replace(tmp, self._best_path())
+
     def save_rolling(self, state, epoch: int,
                      score_tran: float | None = None,
                      score_rotate: float | None = None,
-                     best: dict[str, float] | None = None) -> dict[str, float]:
+                     best: dict[str, float] | None = None,
+                     save_last: bool = True) -> dict[str, float]:
         """'last' every epoch + metric-gated best aliases
-        (reference: main.py:408-417).  ``best`` carries the running minima;
-        returns the updated dict."""
+        (reference: main.py:408-417).  ``best`` carries the running minima
+        (seed it with :meth:`load_best` when resuming); returns the
+        updated dict, which is also persisted for crash resume.
+        ``save_last=False`` skips the 'last' alias for callers that
+        already saved it before a crash-prone eval."""
         best = dict(best or {})
-        self.save(LAST, state, epoch)
+        if save_last:
+            self.save(LAST, state, epoch)
+        updated = False
         if score_tran is not None and score_tran < best.get(BEST_TRAN, float('inf')):
             self.save(BEST_TRAN, state, epoch)
             best[BEST_TRAN] = score_tran
+            updated = True
         if score_rotate is not None and score_rotate < best.get(BEST_ROTATE, float('inf')):
             self.save(BEST_ROTATE, state, epoch)
             best[BEST_ROTATE] = score_rotate
+            updated = True
+        if updated:
+            self.store_best(best)
         return best

@@ -109,13 +109,21 @@ class LossConfig:
 
 
 def _from_dict(cls, data: dict[str, Any]):
+    # Resolve annotations via get_type_hints: under PEP 563 (this module's
+    # `from __future__ import annotations`) f.type is a STRING, so a bare
+    # dataclasses.is_dataclass(f.type) is always False and nested configs
+    # would silently stay raw dicts — unhashable, exploding only later as
+    # a jit static-arg error far from the YAML-loading site.
+    import typing
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in data:
             continue
         v = data[f.name]
-        if dataclasses.is_dataclass(f.type) or f.name.startswith('stage'):
-            v = _from_dict(StageConfig, v) if isinstance(v, dict) else v
+        ftype = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(ftype) and isinstance(v, dict):
+            v = _from_dict(ftype, v)
         elif isinstance(v, list):
             v = tuple(v)
         kwargs[f.name] = v
@@ -130,15 +138,51 @@ def load_yaml(path: str, cls=HRNetConfig):
         return _from_dict(cls, yaml.safe_load(f) or {})
 
 
+def _coerce_override(old, val: str, key: str):
+    """Parse a CLI override string to the type of the current value,
+    with errors that name the offending override (a bare eval() raised
+    NameError on 'false' and TypeError on tuple(80), both far from any
+    hint of which flag was malformed)."""
+    import ast
+    if isinstance(old, str):
+        return val
+    if isinstance(old, bool):          # before int: bool subclasses int
+        low = val.strip().lower()
+        if low in ('true', '1', 'yes', 'on'):
+            return True
+        if low in ('false', '0', 'no', 'off'):
+            return False
+        raise ValueError(f'override {key}={val!r}: expected a boolean')
+    try:
+        parsed = ast.literal_eval(val)
+    except (ValueError, SyntaxError) as e:
+        raise ValueError(
+            f'override {key}={val!r}: not a Python literal '
+            f'({type(old).__name__} expected)') from e
+    if isinstance(old, tuple):
+        # accept a bare scalar for a 1-element tuple field
+        if not isinstance(parsed, (list, tuple)):
+            parsed = (parsed,)
+        return tuple(parsed)
+    return type(old)(parsed)
+
+
 def apply_overrides(cfg, overrides: list[str]):
     """'key=value' CLI overrides (merge_from_list parity)."""
     data = dataclasses.asdict(cfg)
     for ov in overrides:
-        key, _, val = ov.partition('=')
+        key, sep, val = ov.partition('=')
+        if not sep:
+            raise ValueError(f'override {ov!r}: expected key=value')
         node = data
         parts = key.split('.')
-        for p in parts[:-1]:
-            node = node[p]
-        old = node[parts[-1]]
-        node[parts[-1]] = type(old)(eval(val, {}, {})) if not isinstance(old, str) else val
+        try:
+            for p in parts[:-1]:
+                node = node[p]
+            old = node[parts[-1]]
+        except (KeyError, TypeError):
+            raise ValueError(
+                f'override {ov!r}: no config field {key!r} on '
+                f'{type(cfg).__name__}') from None
+        node[parts[-1]] = _coerce_override(old, val, key)
     return _from_dict(type(cfg), data)

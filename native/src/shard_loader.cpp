@@ -397,7 +397,11 @@ class Loader {
         std::vector<uint8_t> scratch;        // PNG payloads
         std::vector<uint8_t> frame_scratch;  // crop-mode pixel staging
         size_t i;
-        while ((i = cursor.fetch_add(1)) < count) {
+        // stop promptly once ANY worker hit an error: without the check
+        // the remaining threads decode the rest of the batch before the
+        // failure is surfaced (wasted work, delayed error)
+        while (!io_error.load(std::memory_order_relaxed) &&
+               (i = cursor.fetch_add(1)) < count) {
           const RecordIndex& ri = index_[order_[start + i]];
           RecordHeader rh;
           if (!pread_full(fd_, &rh, sizeof(rh), ri.offset)) {

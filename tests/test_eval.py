@@ -123,6 +123,13 @@ class TestSubmission:
         assert len(rows[0]) == 8  # filename + 4 quat + 3 trans
         assert float(rows[0][1]) == 1.0
 
+    def test_export_creates_missing_out_dir(self, tmp_path):
+        w = SubmissionWriter()
+        w.append_test('img.jpg', [1, 0, 0, 0], [0, 0, 5])
+        path = w.export(out_dir=str(tmp_path / 'results' / 'run1'),
+                        suffix='mkdir')
+        assert open(path).read().startswith('img.jpg,')
+
     def test_append_batch(self, tmp_path):
         w = SubmissionWriter()
         q = np.tile([1.0, 0, 0, 0], (3, 1))

@@ -84,6 +84,33 @@ class TestServingPipeline:
         assert out.quat.shape == (2, 4)
         assert np.isfinite(np.asarray(out.trans)).all()
 
+    def test_infer_poses_clamps_to_actual_frame_dims(self, monkeypatch):
+        """Regression: infer_poses used crop_resize's default 1920x1200
+        clamp regardless of the frames' true shape, so an edge box on a
+        smaller frame sampled past the border (zero fill instead of the
+        reference's edge padding)."""
+        from esa_pose_estimation_tpu.ops import crop as crop_ops
+        seen = {}
+        orig = crop_ops.crop_resize
+
+        def spy(frames, bboxes, out_size, **kw):
+            seen.update(kw)
+            return orig(frames, bboxes, out_size, **kw)
+
+        monkeypatch.setattr(pipeline.crop_ops, 'crop_resize', spy)
+        pts = synthetic.spacecraft_points(6)
+        model = HRNet(cfg_mod.hrnet_tiny())
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 1)), train=False)
+        frames = jnp.full((1, 300, 400), 100.0)
+        bboxes = jnp.asarray([[320.0, 220.0, 420.0, 320.0]])  # edge box
+        out = pipeline.infer_poses(model, variables, frames, bboxes, pts,
+                                   jax.random.PRNGKey(1), crop_size=64,
+                                   n_hypotheses=8, lm_iters=2,
+                                   min_keypoints=4)
+        assert seen.get('img_w') == 400 and seen.get('img_h') == 300
+        assert np.isfinite(np.asarray(out.trans)).all()
+
     def test_detect_and_infer(self):
         from esa_pose_estimation_tpu.models.detector import TinyDetector
         pts = synthetic.spacecraft_points(6)

@@ -138,6 +138,34 @@ class TestCheckpoint:
                         jax.tree.leaves(st2.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_best_scores_survive_resume(self, tmp_path):
+        """Regression: a crash resume restarted the best gates at inf, so
+        the first eval after restart clobbered best_tran/best_rotate with
+        worse weights.  The running minima are persisted in a sidecar."""
+        cfg = cfg_mod.TrainConfig(batch_size=4, crop_size=32)
+        model = HRNet(cfg_mod.hrnet_tiny())
+        st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(5),
+                                          (1, 32, 32, 1))
+        mgr = CheckpointManager(str(tmp_path / 'ckpt'))
+        mgr.save_rolling(st, epoch=3, score_tran=0.02, score_rotate=0.05,
+                         best={})
+        # fresh manager = restarted process
+        mgr2 = CheckpointManager(str(tmp_path / 'ckpt'))
+        best = mgr2.load_best()
+        assert best == {'best_tran': 0.02, 'best_rotate': 0.05}
+        st_worse = state_mod.create_train_state(
+            model, cfg, jax.random.PRNGKey(6), (1, 32, 32, 1))
+        best = mgr2.save_rolling(st_worse, epoch=4, score_tran=0.5,
+                                 score_rotate=0.6, best=best)
+        assert best == {'best_tran': 0.02, 'best_rotate': 0.05}
+        # best_tran checkpoint still holds the epoch-3 weights
+        st_r, ep = mgr2.restore('best_tran', st_worse)
+        assert ep == 4  # saved at epoch 3 -> next epoch 4
+        for a, b in zip(jax.tree.leaves(st.params),
+                        jax.tree.leaves(st_r.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert mgr2.load_best() == {'best_tran': 0.02, 'best_rotate': 0.05}
+
     def test_restore_missing_returns_epoch_zero(self, tmp_path):
         cfg = cfg_mod.TrainConfig(batch_size=4, crop_size=32)
         model = HRNet(cfg_mod.hrnet_tiny())

@@ -277,6 +277,13 @@ class TestVotingVariants:
         np.testing.assert_allclose(np.asarray(got)[0], targets, atol=1e-4)
         empty = motion_voting(jnp.zeros_like(mask), offsets)
         np.testing.assert_allclose(np.asarray(empty), 0.0)
+        # soft masks (documented contract: values in [0, 1]) must be
+        # mean-normalized by the actual weight sum — a maximum(wsum, 1.0)
+        # floor used to shrink the estimate when total weight < 1
+        soft = mask * (0.5 / float(np.asarray(mask).sum()))  # wsum = 0.5
+        got_soft = motion_voting(soft, offsets)
+        np.testing.assert_allclose(np.asarray(got_soft)[0], targets,
+                                   atol=1e-4)
 
     def test_center_voting_recovers_center(self):
         from esa_pose_estimation_tpu.ops.voting import ransac_voting_center
