@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from esa_pose_estimation_tpu.core import camera
 
 # Named intrinsics (reference: evaluation.py:172-227 'linemod'/'blender'/...
@@ -37,9 +35,16 @@ class Projector:
         return CAMERAS[camera_type]
 
     def project(self, points_3d, pose, camera_type: str):
-        """points_3d: (N, 3); pose: (3, 4) [R|t] -> (N, 2) pixels."""
-        K = jnp.asarray(CAMERAS[camera_type], jnp.float32)
-        pose = jnp.asarray(pose, jnp.float32)
-        uv = camera.project_points(jnp.asarray(points_3d, jnp.float32),
-                                   pose[..., :3, :3], pose[..., :3, 3], K)
-        return np.asarray(uv)
+        """points_3d: (N, 3); pose: (3, 4) [R|t] -> (N, 2) pixels.
+
+        Pure numpy: per-sample eval loops call this thousands of times on
+        (N<=32, 3) arrays, and on this tunneled-TPU host every eager jnp
+        dispatch is a device round-trip (~ms each) — batched on-device
+        projection lives in core.camera.project_points for jitted code.
+        """
+        K = np.asarray(CAMERAS[camera_type], np.float64)
+        pose = np.asarray(pose, np.float64)
+        cam = np.asarray(points_3d, np.float64) @ pose[:3, :3].T \
+            + pose[:3, 3]
+        uvw = cam @ K.T
+        return (uvw[:, :2] / uvw[:, 2:3]).astype(np.float32)

@@ -179,7 +179,6 @@ class HRNet(nn.Module):
 
         # Stage 1 (layer1): blocks at single resolution.
         s1 = c.stage1
-        blk = BLOCKS[s1.block]
         x = BranchBlocks(s1.block, s1.num_blocks[0], s1.num_channels[0],
                          c.with_cbam, **kw)(x, train)
         xs = [x]
@@ -199,7 +198,11 @@ class HRNet(nn.Module):
         total = jnp.concatenate(ups, axis=-1)
         total = ConvBN(total.shape[-1], c.first_head_kernel, 1, **kw)(total, train)
         total = ConvBN(c.num_keypoints, c.final_conv_kernel, 1, **kw)(total, train)
-        total = resize_bilinear(total, (2 * h0, 2 * w0), align_corners=True)
+        # back to the INPUT resolution (2*h0 only equals it for even
+        # sizes; an odd crop would otherwise emit one extra row/col and
+        # break the (B, H, W, K) contract against the loss targets)
+        total = resize_bilinear(total, raw_in.shape[1:3],
+                                align_corners=True)
 
         if c.attended_stem_skip:
             skip = CBAM(dtype=self.dtype)(stem, train=train)

@@ -56,10 +56,10 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int],
         if out_size == 1 or in_size == 1:
             m = jnp.zeros((out_size, in_size), jnp.float32)
             return m.at[:, 0].set(1.0)
+        from esa_pose_estimation_tpu.ops.crop import _interp_matrix
         pos = jnp.arange(out_size, dtype=jnp.float32) \
             * ((in_size - 1) / (out_size - 1))
-        idx = jnp.arange(in_size, dtype=jnp.float32)
-        return jnp.maximum(0.0, 1.0 - jnp.abs(idx[None, :] - pos[:, None]))
+        return _interp_matrix(pos, in_size)
 
     dt = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     wy = axis_matrix(h, oh).astype(dt)
@@ -176,9 +176,12 @@ class CBAM(nn.Module):
         use_fused = FUSED_CBAM
         if use_fused is None:
             import jax
-            use_fused = (not train and jax.default_backend() == 'tpu'
+            use_fused = (jax.default_backend() == 'tpu'
                          and _fused_cbam_profitable(x.shape))
-        if use_fused and not self.is_initializing():
+        # never under a training step, even when forced: the Pallas
+        # kernel has no VJP, so value_and_grad through it would crash
+        # far from wherever FUSED_CBAM was toggled
+        if use_fused and not train and not self.is_initializing():
             from esa_pose_estimation_tpu.ops.pallas.cbam_fuse import (
                 fused_cbam_pallas,
             )

@@ -47,7 +47,19 @@ class TsvLogger:
                         continue
                     for n, v in zip(self.names, parsed):
                         self.numbers[n].append(v)
+            # repair a truncated final row before appending: without the
+            # newline the first post-resume append merges into the
+            # partial line and BOTH rows are lost to every later parse
+            with open(path, 'rb') as f:
+                size = f.seek(0, os.SEEK_END)
+                needs_nl = False
+                if size:
+                    f.seek(size - 1)
+                    needs_nl = f.read(1) != b'\n'
             self.file = open(path, 'a')
+            if needs_nl:
+                self.file.write('\n')
+                self.file.flush()
         else:
             os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
             self.file = open(path, 'w')

@@ -71,7 +71,7 @@ def _kernel(hm_ref, out_ref, *, eps: float, h: int, w: int):
     out_ref[...] = out
 
 
-@partial(jax.jit, static_argnames=('interpret',))
+@partial(jax.jit, static_argnames=('interpret', 'eps'))
 def decode_heatmaps_pallas(heatmaps: jnp.ndarray,
                            interpret: bool | None = None,
                            eps: float = 1e-10
@@ -79,7 +79,9 @@ def decode_heatmaps_pallas(heatmaps: jnp.ndarray,
     """Fused decode. heatmaps: (..., H, W) -> (coords (..., 2), maxvals).
 
     ``interpret`` defaults to True off-TPU (tests on the CPU backend run
-    the kernel in the Pallas interpreter).
+    the kernel in the Pallas interpreter).  ``eps`` is STATIC: it is
+    baked into the kernel closure, so a traced value would crash
+    pallas_call ('captures constants ... pass them as inputs').
     """
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'

@@ -45,9 +45,13 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
                 f'{len(devices)} devices do not factor into n_model='
                 f'{n_model} (pass n_data or a device subset explicitly)')
         n_data = len(devices) // n_model
-    if n_data * n_model > len(devices):
-        raise ValueError(f'mesh {n_data}x{n_model} needs '
-                         f'{n_data * n_model} devices, have {len(devices)}')
+    if n_data * n_model != len(devices):
+        # under-subscription silently idles chips (the docstring's
+        # "looks like a throughput regression" case) — an intentional
+        # sub-mesh must pass the device subset explicitly
+        raise ValueError(f'mesh {n_data}x{n_model} uses '
+                         f'{n_data * n_model} of {len(devices)} devices; '
+                         f'pass devices=... to use a subset deliberately')
     arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

@@ -137,15 +137,17 @@ class CheckpointManager:
         best = dict(best or {})
         if save_last:
             self.save(LAST, state, epoch)
-        updated = False
+        # The sidecar is persisted BEFORE each alias save: a preemption in
+        # between then leaves a sidecar that is better than the weights on
+        # disk, which only costs a missed future improvement — the
+        # opposite order leaves a stale sidecar that lets a worse later
+        # epoch destroy the better checkpoint.
         if score_tran is not None and score_tran < best.get(BEST_TRAN, float('inf')):
-            self.save(BEST_TRAN, state, epoch)
             best[BEST_TRAN] = score_tran
-            updated = True
-        if score_rotate is not None and score_rotate < best.get(BEST_ROTATE, float('inf')):
-            self.save(BEST_ROTATE, state, epoch)
-            best[BEST_ROTATE] = score_rotate
-            updated = True
-        if updated:
             self.store_best(best)
+            self.save(BEST_TRAN, state, epoch)
+        if score_rotate is not None and score_rotate < best.get(BEST_ROTATE, float('inf')):
+            best[BEST_ROTATE] = score_rotate
+            self.store_best(best)
+            self.save(BEST_ROTATE, state, epoch)
         return best

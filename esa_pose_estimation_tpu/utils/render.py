@@ -15,6 +15,18 @@ TPU-native replacement for the reference's offline render stack
 
 Blender-subprocess orchestration itself is out of scope (host tooling, no
 Blender in the image); everything that was geometry math is here.
+
+Rasterization details (shared by :func:`rasterize` and
+:func:`rasterize_color` via ``_chunk_geometry``):
+
+* depth is interpolated PERSPECTIVE-CORRECTLY (1/z is affine in screen
+  space, z itself is not — affine z gives up to ~33% depth error on
+  slanted faces and can z-fight the wrong surface to the front);
+* triangles with any vertex at or behind the near plane are dropped
+  (a z<=0 vertex otherwise projects mirrored/NaN and rasterizes phantom
+  coverage);
+* the triangle chunk auto-shrinks with pixel count so the (chunk, H*W)
+  intermediates stay bounded (~64 MB per array) at any resolution.
 """
 
 from __future__ import annotations
@@ -27,17 +39,29 @@ import numpy as np
 
 from esa_pose_estimation_tpu.core.camera import project_points
 
+_Z_NEAR = 1e-6
+
 
 def sample_sphere_points(n: int, seed: int = 0) -> np.ndarray:
-    """n approximately-uniform unit-sphere points (Fibonacci spiral —
-    deterministic version of render_utils' sphere sampling)."""
+    """n approximately-uniform unit-sphere points.
+
+    Fibonacci spiral (even coverage) composed with a seed-derived random
+    rotation, so different seeds give genuinely different viewpoint sets
+    (the reference's random sphere sampling varies per run) while the
+    same seed stays deterministic.
+    """
     i = np.arange(n) + 0.5
     phi = np.arccos(1 - 2 * i / n)
     golden = np.pi * (1 + 5 ** 0.5)
     theta = golden * i
-    return np.stack([np.cos(theta) * np.sin(phi),
-                     np.sin(theta) * np.sin(phi),
-                     np.cos(phi)], axis=-1)
+    pts = np.stack([np.cos(theta) * np.sin(phi),
+                    np.sin(theta) * np.sin(phi),
+                    np.cos(phi)], axis=-1)
+    rng = np.random.default_rng(seed)
+    Q = np.linalg.qr(rng.normal(size=(3, 3)))[0]
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] = -Q[:, 0]
+    return pts @ Q.T
 
 
 def sample_poses(n: int, min_dist: float, max_dist: float,
@@ -72,6 +96,70 @@ def pose_statistics(Rs: np.ndarray, ts: np.ndarray) -> dict[str, np.ndarray]:
     return {'azimuth': azimuth, 'elevation': elevation, 'distance': dist}
 
 
+def _bounded_chunk(chunk: int, height: int, width: int) -> int:
+    """Shrink the triangle chunk so each (chunk, H*W) f32 intermediate is
+    <= ~64 MB — 'chunked to bound memory' must hold at 640x480 and
+    1920x1200, not just the tiny test shapes."""
+    per_row = height * width * 4
+    return max(1, min(chunk, (64 << 20) // max(per_row, 1)))
+
+
+def _edge(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _pixel_grid(height: int, width: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :],
+                          (height, width)).reshape(-1)
+    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None],
+                          (height, width)).reshape(-1)
+    return px, py
+
+
+def _pad_faces(faces: jnp.ndarray,
+               chunk: int) -> tuple[jnp.ndarray, jnp.ndarray, int]:
+    f = faces.shape[0]
+    pad = (-f) % chunk
+    faces_p = jnp.concatenate([faces, jnp.zeros((pad, 3), faces.dtype)], 0)
+    valid = jnp.concatenate([jnp.ones((f,), bool), jnp.zeros((pad,), bool)])
+    return faces_p, valid, faces_p.shape[0] // chunk
+
+
+def _chunk_geometry(uv, z, tri, tv, px, py):
+    """Per-chunk rasterization geometry shared by mask/depth and color.
+
+    Returns (vertex index triplet, normalized barycentric weights
+    (b0, b1, b2) each (chunk, P), per-pixel inverse interpolated depth
+    inv_z (chunk, P), tri_depth (chunk, P) with +inf outside, inside
+    (chunk, P) bool).
+    """
+    ia, ib, ic = tri[:, 0], tri[:, 1], tri[:, 2]
+    a, b, c = uv[ia], uv[ib], uv[ic]
+    za, zb, zc = z[ia], z[ib], z[ic]
+    area = _edge(a[:, 0], a[:, 1], b[:, 0], b[:, 1], c[:, 0], c[:, 1])
+    sa = jnp.where(area == 0, 1.0, jnp.sign(area))
+    w0 = _edge(b[:, 0, None], b[:, 1, None], c[:, 0, None], c[:, 1, None],
+               px[None], py[None]) * sa[:, None]
+    w1 = _edge(c[:, 0, None], c[:, 1, None], a[:, 0, None], a[:, 1, None],
+               px[None], py[None]) * sa[:, None]
+    w2 = _edge(a[:, 0, None], a[:, 1, None], b[:, 0, None], b[:, 1, None],
+               px[None], py[None]) * sa[:, None]
+    # near-plane guard: a vertex at z<=0 projects mirrored (or NaN at
+    # z=0), which would rasterize phantom coverage at wrong pixels
+    front = (za > _Z_NEAR) & (zb > _Z_NEAR) & (zc > _Z_NEAR)
+    inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+              & (area != 0)[:, None] & (tv & front)[:, None])
+    denom = jnp.maximum(jnp.abs(area), 1e-12)[:, None]
+    b0, b1, b2 = w0 / denom, w1 / denom, w2 / denom
+    # perspective-correct depth: 1/z is affine in screen space
+    safe = jnp.maximum(jnp.stack([za, zb, zc]), _Z_NEAR)
+    inv_z = (b0 / safe[0][:, None] + b1 / safe[1][:, None]
+             + b2 / safe[2][:, None])
+    zint = 1.0 / jnp.maximum(inv_z, 1e-12)
+    tri_depth = jnp.where(inside, zint, jnp.inf)
+    return (ia, ib, ic), (b0, b1, b2), inv_z, tri_depth, inside
+
+
 @partial(jax.jit, static_argnames=('height', 'width', 'chunk'))
 def rasterize(vertices: jnp.ndarray, faces: jnp.ndarray, R: jnp.ndarray,
               t: jnp.ndarray, K: jnp.ndarray, height: int, width: int,
@@ -80,46 +168,19 @@ def rasterize(vertices: jnp.ndarray, faces: jnp.ndarray, R: jnp.ndarray,
 
     vertices: (V, 3); faces: (F, 3) int32; returns (mask (H, W) bool,
     depth (H, W) f32 with +inf where empty).  Edge-function coverage test
-    vectorized over pixels, scanned over triangle chunks.
+    vectorized over pixels, scanned over triangle chunks; see the module
+    docstring for depth interpolation / clipping / memory semantics.
     """
+    chunk = _bounded_chunk(chunk, height, width)
     uv = project_points(vertices, R, t, K)                  # (V, 2)
     z = (jnp.einsum('ij,nj->ni', R, vertices) + t)[:, 2]    # (V,)
-
-    f = faces.shape[0]
-    pad = (-f) % chunk
-    faces_p = jnp.concatenate(
-        [faces, jnp.zeros((pad, 3), faces.dtype)], axis=0)
-    valid_tri = jnp.concatenate(
-        [jnp.ones((f,), bool), jnp.zeros((pad,), bool)])
-    n_chunks = faces_p.shape[0] // chunk
-
-    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
-    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
-    px = jnp.broadcast_to(xs, (height, width)).reshape(-1)
-    py = jnp.broadcast_to(ys, (height, width)).reshape(-1)
-
-    def edge(ax, ay, bx, by, cx, cy):
-        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    faces_p, valid_tri, n_chunks = _pad_faces(faces, chunk)
+    px, py = _pixel_grid(height, width)
 
     def body(carry, inputs):
         mask, depth = carry
         tri, tv = inputs                                    # (chunk, 3), bool
-        a, b, c = uv[tri[:, 0]], uv[tri[:, 1]], uv[tri[:, 2]]
-        za, zb, zc = z[tri[:, 0]], z[tri[:, 1]], z[tri[:, 2]]
-        area = edge(a[:, 0], a[:, 1], b[:, 0], b[:, 1], c[:, 0], c[:, 1])
-        sa = jnp.where(area == 0, 1.0, jnp.sign(area))
-        # barycentric numerators per pixel: (chunk, P)
-        w0 = edge(b[:, 0, None], b[:, 1, None], c[:, 0, None], c[:, 1, None],
-                  px[None], py[None]) * sa[:, None]
-        w1 = edge(c[:, 0, None], c[:, 1, None], a[:, 0, None], a[:, 1, None],
-                  px[None], py[None]) * sa[:, None]
-        w2 = edge(a[:, 0, None], a[:, 1, None], b[:, 0, None], b[:, 1, None],
-                  px[None], py[None]) * sa[:, None]
-        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-                  & (area != 0)[:, None] & tv[:, None])
-        denom = jnp.maximum(jnp.abs(area), 1e-12)[:, None]
-        zint = (w0 * za[:, None] + w1 * zb[:, None] + w2 * zc[:, None]) / denom
-        tri_depth = jnp.where(inside, zint, jnp.inf)
+        _, _, _, tri_depth, inside = _chunk_geometry(uv, z, tri, tv, px, py)
         depth = jnp.minimum(depth, jnp.min(tri_depth, axis=0))
         mask = mask | jnp.any(inside, axis=0)
         return (mask, depth), None
@@ -149,7 +210,7 @@ def rasterize_color(vertices: jnp.ndarray, faces: jnp.ndarray,
                     R: jnp.ndarray, t: jnp.ndarray, K: jnp.ndarray,
                     height: int, width: int,
                     vertex_colors: jnp.ndarray | None = None,
-                    light_dir: tuple[float, float, float] = (0.0, 0.0, -1.0),
+                    light_dir: tuple[float, float, float] = (0.0, 0.0, 1.0),
                     ambient: float = 0.35, chunk: int = 128
                     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Color + depth render of a triangle mesh under a calibrated camera —
@@ -159,74 +220,63 @@ def rasterize_color(vertices: jnp.ndarray, faces: jnp.ndarray,
     scan over triangle chunks.
 
     vertices: (V, 3); faces: (F, 3) int32; vertex_colors: (V, 3) in [0, 1]
-    (defaults to light gray).  Gouraud-style barycentric color
-    interpolation with Lambertian shading from camera-frame face normals:
-    ``shade = ambient + (1-ambient) * max(0, -n . l)``.
+    (defaults to light gray).  Perspective-correct barycentric color
+    interpolation with one-sided Lambertian shading from camera-frame
+    face normals: ``shade = ambient + (1-ambient) * max(0, -n . l)``
+    with normals oriented toward the camera (back-lit faces get ambient
+    only, like the OpenGL renderer's one-sided lighting; orientation is
+    derived from visibility, not from PLY winding, which is unreliable).
+    ``light_dir`` is the direction light TRAVELS in camera frame; the
+    default (0, 0, 1) is a camera headlight, which fully lights faces
+    square to the view and falls off with slant.
 
     Returns (rgb (H, W, 3) f32 in [0, 1] — black background, depth (H, W)
     f32 (+inf empty), mask (H, W) bool).
     """
+    chunk = _bounded_chunk(chunk, height, width)
     if vertex_colors is None:
         vertex_colors = jnp.full(vertices.shape, 0.8, jnp.float32)
     uv = project_points(vertices, R, t, K)
     cam = jnp.einsum('ij,nj->ni', R, vertices) + t          # (V, 3)
     z = cam[:, 2]
-
-    f = faces.shape[0]
-    pad = (-f) % chunk
-    faces_p = jnp.concatenate([faces, jnp.zeros((pad, 3), faces.dtype)], 0)
-    valid_tri = jnp.concatenate(
-        [jnp.ones((f,), bool), jnp.zeros((pad,), bool)])
-    n_chunks = faces_p.shape[0] // chunk
-
+    faces_p, valid_tri, n_chunks = _pad_faces(faces, chunk)
+    px, py = _pixel_grid(height, width)
     p = height * width
-    px = jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :],
-                          (height, width)).reshape(-1)
-    py = jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None],
-                          (height, width)).reshape(-1)
     light = jnp.asarray(light_dir, jnp.float32)
     light = light / jnp.linalg.norm(light)
     arange_p = jnp.arange(p)
 
-    def edge(ax, ay, bx, by, cx, cy):
-        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-
     def body(carry, inputs):
         depth, color = carry
         tri, tv = inputs
-        ia, ib, ic = tri[:, 0], tri[:, 1], tri[:, 2]
-        a, b, c = uv[ia], uv[ib], uv[ic]
-        area = edge(a[:, 0], a[:, 1], b[:, 0], b[:, 1], c[:, 0], c[:, 1])
-        sa = jnp.where(area == 0, 1.0, jnp.sign(area))
-        w0 = edge(b[:, 0, None], b[:, 1, None], c[:, 0, None],
-                  c[:, 1, None], px[None], py[None]) * sa[:, None]
-        w1 = edge(c[:, 0, None], c[:, 1, None], a[:, 0, None],
-                  a[:, 1, None], px[None], py[None]) * sa[:, None]
-        w2 = edge(a[:, 0, None], a[:, 1, None], b[:, 0, None],
-                  b[:, 1, None], px[None], py[None]) * sa[:, None]
-        inside = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-                  & (area != 0)[:, None] & tv[:, None])
-        denom = jnp.maximum(jnp.abs(area), 1e-12)[:, None]
-        zint = (w0 * z[ia][:, None] + w1 * z[ib][:, None]
-                + w2 * z[ic][:, None]) / denom
-        tri_depth = jnp.where(inside, zint, jnp.inf)      # (chunk, P)
+        (ia, ib, ic), (b0, b1, b2), inv_z, tri_depth, _ = _chunk_geometry(
+            uv, z, tri, tv, px, py)
 
         win = jnp.argmin(tri_depth, axis=0)               # (P,)
         win_depth = tri_depth[win, arange_p]
-        # interpolate color only for the winning triangle per pixel
-        bw = jnp.stack([w0[win, arange_p], w1[win, arange_p],
-                        w2[win, arange_p]], axis=-1) / denom[win]
+        # perspective-correct attribute weights: (b_i / z_i) / sum_j
+        safe_iz = jnp.maximum(inv_z[win, arange_p], 1e-12)
+        zs = jnp.maximum(jnp.stack([z[ia], z[ib], z[ic]]), _Z_NEAR)
+        bw = jnp.stack([b0[win, arange_p] / zs[0][win],
+                        b1[win, arange_p] / zs[1][win],
+                        b2[win, arange_p] / zs[2][win]],
+                       axis=-1) / safe_iz[:, None]
         vcol = jnp.stack([vertex_colors[ia][win],
                           vertex_colors[ib][win],
                           vertex_colors[ic][win]], axis=1)  # (P, 3v, 3c)
         col = jnp.einsum('pv,pvc->pc', bw, vcol)
-        # Lambertian shade from the camera-frame face normal
+        # one-sided Lambertian shade from the camera-frame face normal,
+        # oriented toward the camera first (PLY winding is not reliably
+        # consistent; a visible face is camera-facing by definition, so
+        # this gives the one-sided behavior without trusting winding)
         e1 = cam[ib] - cam[ia]
         e2 = cam[ic] - cam[ia]
         n = jnp.cross(e1, e2)
         n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
                             1e-12)
-        ndotl = jnp.abs(jnp.einsum('fc,c->f', n, light))[win]  # (P,)
+        centroid = (cam[ia] + cam[ib] + cam[ic]) / 3.0
+        n = jnp.where((jnp.sum(n * centroid, -1) > 0)[:, None], -n, n)
+        ndotl = jnp.maximum(-jnp.einsum('fc,c->f', n, light), 0.0)[win]
         col = col * (ambient + (1.0 - ambient) * ndotl)[:, None]
 
         better = win_depth < depth

@@ -47,17 +47,32 @@ def _to_np(v: Any) -> np.ndarray:
     return np.asarray(v)
 
 
-def load_torch_checkpoint(path: str) -> dict[str, np.ndarray]:
+def load_torch_checkpoint(path: str,
+                          allow_pickle: bool = False) -> dict[str, np.ndarray]:
     """Load a ``.pth`` file into a flat numpy state_dict.
 
     Accepts either a bare state_dict or the reference's
     ``{'net': state_dict, 'optim': ..., 'epoch': ...}`` wrapper
     (reference: main.py:176-182), and strips ``module.`` DataParallel
     prefixes (reference wraps nets in DataParallel, main.py:254).
+
+    Loads with ``weights_only=True`` by default — both documented formats
+    are plain tensor/dict payloads, and full unpickling executes arbitrary
+    code from the file (third-party checkpoints are untrusted input).
+    Pass ``allow_pickle=True`` only for a trusted legacy file that fails
+    the safe loader.
     """
     import torch  # local import: only needed for file loading
 
-    obj = torch.load(path, map_location='cpu', weights_only=False)
+    try:
+        obj = torch.load(path, map_location='cpu',
+                         weights_only=not allow_pickle)
+    except Exception as e:
+        if allow_pickle:
+            raise
+        raise RuntimeError(
+            f'{path!r} does not load as a plain weights checkpoint; if '
+            f'you trust its origin, retry with allow_pickle=True') from e
     if isinstance(obj, dict) and 'net' in obj and hasattr(obj['net'], 'items'):
         obj = obj['net']
     if hasattr(obj, 'state_dict'):

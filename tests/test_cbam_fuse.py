@@ -136,3 +136,28 @@ class TestCbamModuleDispatch:
             'kernel'].shape == (1, 1, 32, 2)
         assert p['CBAM_0']['SpatialAttention_0']['Conv_0'][
             'kernel'].shape == (7, 7, 2, 1)
+
+
+def test_forced_fused_never_dispatches_under_training():
+    """FUSED_CBAM=True left set (e.g. by a bench or a failed test
+    teardown) must not route a TRAINING step through the Pallas kernel:
+    it has no VJP, so value_and_grad would crash far from the toggle."""
+    rng = np.random.default_rng(5)
+    x = _rand(rng, (2, 8, 8, 32))
+    res = _rand(rng, (2, 8, 8, 32))
+    mod = layers.CBAM()
+    variables = mod.init(jax.random.PRNGKey(0), x, res)
+    old = layers.FUSED_CBAM
+    try:
+        layers.FUSED_CBAM = True
+
+        def loss(params):
+            out = mod.apply({'params': params}, x, res, train=True)
+            return jnp.sum(out ** 2)
+
+        val, grads = jax.value_and_grad(loss)(variables['params'])
+    finally:
+        layers.FUSED_CBAM = old
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))

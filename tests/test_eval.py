@@ -154,6 +154,26 @@ class TestObs:
         lg2.close()
         assert len(open(p).read().strip().split('\n')) == 4
 
+    def test_tsv_logger_resume_repairs_truncated_tail(self, tmp_path):
+        """A run killed mid-write leaves a partial last line with no
+        newline; resume must add one so the next append does not merge
+        into it (corrupting both rows for every later parse)."""
+        p = str(tmp_path / 'log.txt')
+        lg = TsvLogger(p)
+        lg.set_names(['Epoch', 'LR', 'Train Loss'])
+        lg.append([1, 1e-4, 0.5])
+        lg.close()
+        with open(p, 'a') as f:
+            f.write('2\t0.0001\t0.4')        # truncated row, no newline
+        lg2 = TsvLogger(p, resume=True)
+        lg2.append([3, 1e-4, 0.3])
+        lg2.close()
+        lines = open(p).read().strip().split('\n')
+        assert lines[-1].startswith('3\t'), lines
+        lg3 = TsvLogger(p, resume=True)
+        assert lg3.numbers['Train Loss'] == [0.5, 0.4, 0.3]
+        lg3.close()
+
     def test_average_meter(self):
         m = AverageMeter()
         m.update(1.0)

@@ -33,9 +33,11 @@ class TestHRNet:
         assert out.dtype == jnp.float32
 
     def test_shape_fuzz(self, tiny):
-        # reference net.py:333-342 idiom: multiple input sizes
+        # reference net.py:333-342 idiom: multiple input sizes, including
+        # ODD sizes (the head used to upsample to 2*ceil(H/2), emitting
+        # one extra row/col for odd inputs)
         model, variables = tiny
-        for hw in (32, 64, 96):
+        for hw in (32, 64, 96, 33, 127):
             out = model.apply(variables, jnp.zeros((1, hw, hw, 1)),
                               train=False)
             assert out.shape == (1, hw, hw, 6), hw

@@ -180,3 +180,70 @@ class TestColorRender:
                            colors)
         assert img.dtype == np.uint8 and img.shape == (32, 32, 3)
         assert (img[m] > 200).all() and (img[~m] == 0).all()
+
+
+class TestRasterizeCorrectness:
+    """Regressions from review: perspective depth, near-plane clipping,
+    one-sided shading, chunk memory bounding."""
+
+    def _K(self, size=32):
+        return jnp.array([[size, 0., size / 2], [0., size, size / 2],
+                          [0., 0., 1.]], jnp.float32)
+
+    def test_depth_is_perspective_correct(self):
+        from esa_pose_estimation_tpu.utils.render import rasterize
+        # slanted quad spanning z=1 (left edge, projects to u=0) to z=3
+        # (right edge, projects to u=64).  The surface is the plane
+        # x = 2.5 z - 3; the ray through pixel u=16 is x = 0, so the true
+        # intersection depth is z = 1.2.  AFFINE screen-space z (the old
+        # bug) would give 0.75*1 + 0.25*3 = 1.5 there (25% error).
+        verts = jnp.array([
+            [-0.5, -2.0, 1.0], [-0.5, 2.0, 1.0],     # near edge, z=1
+            [4.5, -6.0, 3.0], [4.5, 6.0, 3.0],       # far edge, z=3
+        ], jnp.float32)
+        faces = jnp.array([[0, 1, 2], [1, 3, 2]], jnp.int32)
+        mask, depth = rasterize(verts, faces, jnp.eye(3), jnp.zeros(3),
+                                self._K(), 32, 32)
+        mask, depth = np.asarray(mask), np.asarray(depth)
+        assert mask[16, 16]
+        np.testing.assert_allclose(depth[16, 16], 1.2, atol=0.02)
+
+    def test_behind_camera_vertices_are_clipped(self):
+        from esa_pose_estimation_tpu.utils.render import rasterize
+        # one triangle fully in front, one with a vertex BEHIND the
+        # camera (z=-1): the latter must not rasterize phantom coverage
+        verts = jnp.array([
+            [-0.2, -0.2, 1.0], [0.2, -0.2, 1.0], [0.0, 0.2, 1.0],
+            [-0.2, -0.2, 1.0], [0.2, -0.2, 1.0], [0.0, 0.2, -1.0],
+        ], jnp.float32)
+        faces_front = jnp.array([[0, 1, 2]], jnp.int32)
+        faces_bad = jnp.array([[3, 4, 5]], jnp.int32)
+        m_front, _ = rasterize(verts, faces_front, jnp.eye(3),
+                               jnp.zeros(3), self._K(), 32, 32)
+        m_bad, d_bad = rasterize(verts, faces_bad, jnp.eye(3),
+                                 jnp.zeros(3), self._K(), 32, 32)
+        assert np.asarray(m_front).any()
+        assert not np.asarray(m_bad).any()
+        assert np.isinf(np.asarray(d_bad)).all()
+
+    def test_backlit_face_gets_ambient_only(self):
+        from esa_pose_estimation_tpu.utils.render import rasterize_color
+        verts = jnp.array([[-0.4, -0.4, 0.], [0.4, -0.4, 0.],
+                           [0., 0.5, 0.]], jnp.float32)
+        faces = jnp.array([[0, 1, 2]], jnp.int32)
+        colors = jnp.full((3, 3), 1.0, jnp.float32)
+        R, t = jnp.eye(3), jnp.array([0., 0., 1.])
+        # light travelling TOWARD the camera (-z): the camera-facing
+        # triangle is back-lit -> ambient only (abs() used to light it)
+        rgb, _, mask = rasterize_color(verts, faces, R, t, self._K(),
+                                       32, 32, colors, ambient=0.35,
+                                       light_dir=(0., 0., -1.))
+        m = np.asarray(mask)
+        np.testing.assert_allclose(np.asarray(rgb)[m], 0.35, atol=1e-5)
+
+    def test_chunk_auto_bounds_memory(self):
+        from esa_pose_estimation_tpu.utils.render import _bounded_chunk
+        assert _bounded_chunk(512, 16, 16) == 512       # tiny: unchanged
+        c = _bounded_chunk(512, 1200, 1920)
+        assert 1 <= c < 512
+        assert c * 1200 * 1920 * 4 <= (64 << 20)

@@ -64,3 +64,15 @@ def test_sharded_eval_step_runs_and_shards_output():
     assert out.shape[0] == 16
     # output batch axis is sharded over the 8-device data axis
     assert len(out.sharding.device_set) == 8
+
+
+def test_make_mesh_rejects_under_subscription():
+    """An explicit factorization that idles devices must raise (silently
+    unused chips read as a throughput regression); a deliberate sub-mesh
+    passes the device subset explicitly."""
+    import pytest
+
+    with pytest.raises(ValueError, match='of 8 devices'):
+        make_mesh(n_data=2, n_model=2)
+    sub = make_mesh(n_data=2, n_model=2, devices=jax.devices()[:4])
+    assert sub.devices.shape == (2, 2)
