@@ -241,6 +241,37 @@ def hrnet_plan(cfg: HRNetConfig) -> list[tuple[str, Any, Path]]:
     return plan.ops
 
 
+def _prefix_ops(ops: Iterable[tuple[str, Any, Path]],
+                prefix: str) -> list[tuple[str, Any, Path]]:
+    """Prepend a torch attribute prefix (e.g. ``resnet18_8s.``) to every
+    torch key in a plan."""
+    out = []
+    for kind, t, f in ops:
+        t = (prefix + t[0], prefix + t[1]) if kind == 'bnfold' \
+            else prefix + t
+        out.append((kind, t, f))
+    return out
+
+
+def resnet8s_net_plan(depth: int) -> list[tuple[str, Any, Path]]:
+    """Full reference ``Resnet{18,34,50}_8s`` (net.py:7-155) state_dict <->
+    flax :class:`models.resnet8s.ResNet8s` mapping: the dilated backbone
+    under its ``resnet{depth}_8s.`` attribute prefix, the replaced ``fc``
+    conv head (net.py:22-26), the ``conv8s/conv4s/conv2s/convraw`` decoder
+    (net.py:30-59), and the final biased 1x1 ``ver_dim`` conv."""
+    backbone = f'resnet{depth}_8s'
+    scope: Path = ('ResNetBackbone8s_0',)
+    plan = _Plan()
+    plan.ops += [(k, t, scope + f) for k, t, f in
+                 _prefix_ops(resnet_plan(depth), backbone + '.')]
+    plan.convbn(f'{backbone}.fc.0', f'{backbone}.fc.1',
+                scope + ('ConvBN_0',))
+    for i, name in enumerate(('conv8s', 'conv4s', 'conv2s', 'convraw')):
+        plan.convbn(f'{name}.0', f'{name}.1', (f'ConvBNLeaky_{i}',))
+    plan.convb('convraw.3', ('Conv_0',))
+    return plan.ops
+
+
 def resnet_plan(depth: int) -> list[tuple[str, Any, Path]]:
     """torchvision resnet{18,34,50} state_dict -> flax ResNetBackbone8s
     (reference pretrained-load semantics: resnet.py:223-280; the dilated
@@ -398,6 +429,23 @@ def import_reference_hrnet(variables: dict, state_dict: dict,
     HRNet variables.  ``strict`` additionally requires every torch key to
     be consumed (ignoring torch bookkeeping like ``num_batches_tracked``)."""
     out, used = apply_plan(variables, state_dict, hrnet_plan(cfg))
+    if strict:
+        left = {k for k in state_dict
+                if k not in used and not k.endswith('num_batches_tracked')}
+        if left:
+            raise ValueError(f'unconsumed torch keys: {sorted(left)[:8]}'
+                             f'{" ..." if len(left) > 8 else ""}')
+    return out
+
+
+def import_reference_resnet8s(variables: dict, state_dict: dict,
+                              depth: int = 18,
+                              strict: bool = True) -> dict:
+    """Load a full reference ``Resnet{18,34,50}_8s`` torch state_dict
+    (net.py:7-155, the LINEMOD heatmap-mode net) into flax ``ResNet8s``
+    variables — backbone AND decoder, so a reference-trained PVNet
+    checkpoint can be carried onto TPU whole."""
+    out, used = apply_plan(variables, state_dict, resnet8s_net_plan(depth))
     if strict:
         left = {k for k in state_dict
                 if k not in used and not k.endswith('num_batches_tracked')}

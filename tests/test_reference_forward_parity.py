@@ -129,6 +129,75 @@ def test_flax_hrnet_matches_reference_forward():
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
+def _load_reference_net_module():
+    """Load reference ``net.py`` with its sibling ``resnet.py`` resolved
+    (net.py does ``from resnet import ...``)."""
+    import sys
+    spec_r = importlib.util.spec_from_file_location(
+        'resnet', '/root/reference/resnet.py')
+    resnet_mod = importlib.util.module_from_spec(spec_r)
+    sys.modules['resnet'] = resnet_mod
+    try:
+        spec_r.loader.exec_module(resnet_mod)
+        spec_n = importlib.util.spec_from_file_location(
+            'ref_net', '/root/reference/net.py')
+        net_mod = importlib.util.module_from_spec(spec_n)
+        spec_n.loader.exec_module(net_mod)
+    finally:
+        del sys.modules['resnet']
+    # the net constructors hardcode pretrained=True (a model-zoo download,
+    # unavailable here and irrelevant: weights get randomized anyway)
+    for name in ('resnet18', 'resnet34', 'resnet50'):
+        fn = getattr(resnet_mod, name)
+        setattr(net_mod, name,
+                (lambda f: lambda **kw: f(**{**kw, 'pretrained': False}))(fn))
+    return net_mod
+
+
+def test_flax_resnet8s_matches_reference_forward():
+    """Full-net (backbone + decoder) parity for the LINEMOD heatmap-mode
+    Resnet18_8s (net.py:7-79): dilated output-stride-8 backbone, replaced
+    fc conv head, skip-concat decoder with UpsamplingBilinear2d, final
+    biased 1x1 conv."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from esa_pose_estimation_tpu.models.resnet8s import resnet18_8s
+    from esa_pose_estimation_tpu.utils.torch_import import (
+        import_reference_resnet8s,
+    )
+
+    net_mod = _load_reference_net_module()
+    net = net_mod.Resnet18_8s(ver_dim=32)
+    torch.manual_seed(1)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.uniform_(-0.1, 0.1)
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    assert ref.shape == (1, 32, 32, 32)
+
+    model = resnet18_8s(ver_dim=32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    variables = import_reference_resnet8s(variables, net.state_dict(),
+                                          depth=18, strict=True)
+    out = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    assert np.abs(ref).max() > 1e-3
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
+
+
 def test_flax_hrnet_matches_reference_forward_no_cbam_variant():
     """The seg_hrnet.py-family variant path (no attention, 1x1 first head
     conv is NOT exercised here — seg_hrnet3 hardcodes 3x3; this variant
