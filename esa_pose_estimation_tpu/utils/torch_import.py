@@ -440,12 +440,20 @@ def import_reference_hrnet(variables: dict, state_dict: dict,
 
 def import_reference_resnet8s(variables: dict, state_dict: dict,
                               depth: int = 18,
-                              strict: bool = True) -> dict:
+                              strict: bool = True,
+                              scope: Path = ()) -> dict:
     """Load a full reference ``Resnet{18,34,50}_8s`` torch state_dict
     (net.py:7-155, the LINEMOD heatmap-mode net) into flax ``ResNet8s``
     variables — backbone AND decoder, so a reference-trained PVNet
-    checkpoint can be carried onto TPU whole."""
-    out, used = apply_plan(variables, state_dict, resnet8s_net_plan(depth))
+    checkpoint can be carried onto TPU whole.
+
+    The PVNet seg+vertex two-output net
+    (lib/networks/model_repository.py:7-80) has the identical layout with
+    ``convraw.3`` emitting ``seg_dim+ver_dim`` channels; import it into
+    :class:`~.models.resnet8s.ResNet8s2o` with ``scope=('ResNet8s_0',)``
+    (the 2o wrapper's shared trunk)."""
+    out, used = apply_plan(variables, state_dict, resnet8s_net_plan(depth),
+                           scope=scope)
     if strict:
         left = {k for k in state_dict
                 if k not in used and not k.endswith('num_batches_tracked')}

@@ -198,6 +198,84 @@ def test_flax_resnet8s_matches_reference_forward():
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-3)
 
 
+def test_flax_resnet8s2o_matches_reference_pvnet_forward():
+    """Two-output (seg + vertex) PVNet net parity against the reference's
+    lib/networks/model_repository.py:7-80 Resnet18_8s — the net the
+    LINEMOD RANSAC-voting path trains.  Same state_dict layout as net.py's
+    single-output net with convraw.3 widened to seg_dim+ver_dim."""
+    import sys
+    import types
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from esa_pose_estimation_tpu.models.resnet8s import ResNet8s2o
+    from esa_pose_estimation_tpu.utils.torch_import import (
+        import_reference_resnet8s,
+    )
+
+    # lib/networks/resnet.py is a duplicate of the top-level resnet.py
+    # (SURVEY §2 #4) whose extra `lib.utils.config` import drags in the
+    # EasyDict path config; register the top-level copy under the package
+    # name model_repository imports.
+    spec_r = importlib.util.spec_from_file_location(
+        'lib.networks.resnet', '/root/reference/resnet.py')
+    resnet_mod = importlib.util.module_from_spec(spec_r)
+    saved = {k: sys.modules.get(k) for k in
+             ('lib', 'lib.networks', 'lib.networks.resnet')}
+    sys.modules['lib'] = types.ModuleType('lib')
+    sys.modules['lib.networks'] = types.ModuleType('lib.networks')
+    sys.modules['lib.networks.resnet'] = resnet_mod
+    try:
+        spec_r.loader.exec_module(resnet_mod)
+        spec_n = importlib.util.spec_from_file_location(
+            'ref_model_repository',
+            '/root/reference/lib/networks/model_repository.py')
+        repo_mod = importlib.util.module_from_spec(spec_n)
+        spec_n.loader.exec_module(repo_mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    repo_mod.resnet18 = \
+        lambda **kw: resnet_mod.resnet18(**{**kw, 'pretrained': False})
+
+    net = repo_mod.Resnet18_8s(ver_dim=18, seg_dim=2)
+    torch.manual_seed(2)
+    with torch.no_grad():
+        for p in net.parameters():
+            p.uniform_(-0.1, 0.1)
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        seg_ref, ver_ref = net(torch.tensor(np.transpose(x, (0, 3, 1, 2))))
+    seg_ref = seg_ref.numpy().transpose(0, 2, 3, 1)
+    ver_ref = ver_ref.numpy().transpose(0, 2, 3, 1)
+
+    model = ResNet8s2o(ver_dim=18, seg_dim=2, depth=18, fc_dim=256,
+                       s8_dim=128, s4_dim=64, s2_dim=32, raw_dim=32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    variables = import_reference_resnet8s(variables, net.state_dict(),
+                                          depth=18, strict=True,
+                                          scope=('ResNet8s_0',))
+    seg, ver = model.apply(variables, jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(seg), seg_ref,
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ver), ver_ref,
+                               atol=5e-4, rtol=1e-3)
+
+
 def test_flax_hrnet_matches_reference_forward_no_cbam_variant():
     """The seg_hrnet.py-family variant path (no attention, 1x1 first head
     conv is NOT exercised here — seg_hrnet3 hardcodes 3x3; this variant
