@@ -208,6 +208,35 @@ class ResNet8s2o(nn.Module):
         return out[..., :self.seg_dim], out[..., self.seg_dim:]
 
 
+class ResNet8sDetector(nn.Module):
+    """Single-channel objectness-heatmap heads over the dilated backbone
+    (reference: lib/networks/model_repository.py:302-330).
+
+    ``tap='fc'`` mirrors ``Resnet18_8s_detector`` (1-ch conv on the fc
+    feature); ``tap='8s'`` mirrors ``..._v2`` (1-ch conv on the layer-2
+    feature).  With ``tap='8s'`` XLA dead-code-eliminates the unused
+    layer-3/4/fc tail from the jitted program, recovering the reference
+    v2's truncated-trunk economy without a second module.  This family is
+    reference scaffolding — the serving pipeline's trained TinyDetector
+    (models/detector.py) supersedes it.
+
+    Output: (B, H/8, W/8, 1) objectness logits.
+    """
+    depth: int = 18
+    tap: str = 'fc'                     # 'fc' | '8s'
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        _, _, x8s, xfc = ResNetBackbone8s(
+            self.depth, dtype=self.dtype,
+            axis_name=self.axis_name)(x.astype(self.dtype), train)
+        feat = xfc if self.tap == 'fc' else x8s
+        out = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype)(feat)
+        return out.astype(jnp.float32)
+
+
 def pvnet_loss(seg_logits: jnp.ndarray, vertex_pred: jnp.ndarray,
                mask: jnp.ndarray, vertex_target: jnp.ndarray,
                vertex_weight: float = 1.0) -> jnp.ndarray:

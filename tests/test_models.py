@@ -107,3 +107,15 @@ class TestResNet8s:
                                jnp.zeros((1, 64, 64, 3)), train=False))
         n = param_count(variables['params'])
         assert 11e6 < n < 15e6, n
+
+    def test_detector_heads(self):
+        """Objectness-head variants (model_repository.py:302-330):
+        both taps emit (B, H/8, W/8, 1) logits."""
+        from esa_pose_estimation_tpu.models.resnet8s import ResNet8sDetector
+        for tap in ('fc', '8s'):
+            model = ResNet8sDetector(depth=18, tap=tap)
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 3)), train=False)
+            out = model.apply(variables, jnp.zeros((2, 64, 64, 3)),
+                              train=False)
+            assert out.shape == (2, 8, 8, 1), tap
