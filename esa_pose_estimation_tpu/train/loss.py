@@ -11,6 +11,7 @@ indexed assignment, which neither jits nor vectorizes):
 * :func:`wing` — ``WingLoss`` (loss.py:99-114).
 * :func:`smooth_l1` — ``Smooth_l1`` (loss.py:84-95).
 * :func:`focal_l2` — ``focal_l2_loss`` (loss.py:9-31).
+* :func:`wloss` — ``WLoss`` (loss.py:145-156).
 * :func:`weighted_heatmap_loss` — ``Loss_weighted`` (loss.py:116-129):
   HeatmapWing * (W*M + 1), reduced by mean (main.py:380).
 
@@ -69,6 +70,14 @@ def smooth_l1(y_pred: jnp.ndarray, y: jnp.ndarray,
     """Smooth_l1 (reference loss.py:84-95)."""
     d = jnp.abs(y - y_pred)
     return jnp.where(d < theta, 0.5 * d * d, d - 0.375)
+
+
+def wloss(y_pred: jnp.ndarray, y: jnp.ndarray, omega: float = 10.0,
+          epsilon: float = 2.0) -> jnp.ndarray:
+    """WLoss (reference loss.py:145-156): a branchless log-wing,
+    omega * log(1 + |d| / epsilon) everywhere (the reference computes a
+    constant C but never applies it)."""
+    return omega * jnp.log1p(jnp.abs(y_pred - y) / epsilon)
 
 
 def focal_l2(y_pred: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray,

@@ -82,6 +82,14 @@ def test_wing_matches_reference(ref, inputs):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_wloss_matches_reference(ref, inputs):
+    from esa_pose_estimation_tpu.train.loss import wloss
+    y_pred, y = inputs
+    want = ref.WLoss()(_torch(y_pred), _torch(y)).numpy()
+    got = np.asarray(wloss(y_pred, y))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_smooth_l1_matches_reference(ref, inputs):
     from esa_pose_estimation_tpu.train.loss import smooth_l1
     y_pred, y = inputs
