@@ -55,11 +55,14 @@ def _install_torchvision_stub():
     class ToTensor:
         def __call__(self, pil):
             arr = np.asarray(pil, dtype=np.float32) / 255.0
-            return torch.from_numpy(arr)[None]
+            if arr.ndim == 2:                      # grayscale -> (1, H, W)
+                return torch.from_numpy(arr)[None]
+            return torch.from_numpy(arr).permute(2, 0, 1)  # RGB -> (C, H, W)
 
     class Normalize:
         def __init__(self, mean, std):
-            self.mean, self.std = mean[0], std[0]
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
 
         def __call__(self, x):
             return (x - self.mean) / self.std
