@@ -30,11 +30,18 @@ class TsvLogger:
         self.numbers: dict[str, list[float]] = {}
         if resume and os.path.exists(path):
             with open(path) as f:
+                # the reference Logger writes a trailing tab after every
+                # field (logger.py:52-54,63-65); strip trailing empties so
+                # its files resume here unchanged
                 header = f.readline().rstrip('\n')
                 self.names = header.split('\t') if header else []
+                while self.names and self.names[-1] == '':
+                    self.names.pop()
                 self.numbers = {n: [] for n in self.names}
                 for line in f:
                     vals = line.rstrip('\n').split('\t')
+                    while vals and vals[-1] == '':
+                        vals.pop()
                     # A run killed mid-write leaves a truncated final
                     # row; skip malformed rows instead of refusing to
                     # resume (the reference's resume has the same tail

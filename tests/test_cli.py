@@ -121,7 +121,7 @@ class TestSubmitCli:
             '--workdir', workdir, '--tiny', '--test-pkl', str(pkl),
             '--image-root', str(img_dir), '--batch-size', '4',
             '--crop-size', '32', '--suffix', 'smoke',
-            '--checkpoint', 'last'])
+            '--checkpoint', 'last', '--norm-mean', '0.485'])
         rows = open(path).read().strip().split('\n')
         assert len(rows) == 4
         assert all(len(r.split(',')) == 8 for r in rows)
