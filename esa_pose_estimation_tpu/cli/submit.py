@@ -30,7 +30,8 @@ from esa_pose_estimation_tpu.utils import config as cfg_mod
 
 
 def run_partition(model, variables, records, points_3d, writer, real, key,
-                  batch_size=32, crop_size=128, norm_mean=0.449):
+                  batch_size=32, crop_size=128, norm_mean=0.485,
+                  crop_rule='val'):
     loader = speed_data.BatchLoader(records,
                                     min(batch_size, len(records)),
                                     shuffle=False, drop_last=False)
@@ -41,7 +42,7 @@ def run_partition(model, variables, records, points_3d, writer, real, key,
                           points_3d, jax.random.fold_in(key, i),
                           crop_size=crop_size,
                           conf_threshold=0.8, min_keypoints=24,
-                          norm_mean=norm_mean)
+                          norm_mean=norm_mean, crop_rule=crop_rule)
         writer.append_batch(batch['name'], np.asarray(out.quat),
                             np.asarray(out.trans), real=real)
 
@@ -55,10 +56,15 @@ def main(argv=None):
     ap.add_argument('--checkpoint', default='best_rotate')
     ap.add_argument('--batch-size', type=int, default=32)
     ap.add_argument('--crop-size', type=int, default=128)
-    ap.add_argument('--norm-mean', type=float, default=0.449,
-                    help='crop normalization mean: 0.449 matches training '
-                         '(data_load4.py:81); the reference submission '
-                         'loader used 0.485 (data_load_val.py:84-88)')
+    ap.add_argument('--norm-mean', type=float, default=0.485,
+                    help='crop normalization mean: 0.485 matches the '
+                         'reference submission loader (data_load_val.py:'
+                         '84-88, the default); pass 0.449 to match the '
+                         'training transform instead (data_load4.py:81)')
+    ap.add_argument('--crop-rule', choices=('val', 'train'), default='val',
+                    help='box rule: "val" = ESAValDataSet submission crop '
+                         '(no square-equalization, data_load_val.py:125-157'
+                         ', the default); "train" = data_load4 rule')
     ap.add_argument('--suffix', default=None)
     ap.add_argument('--tiny', action='store_true')
     args = ap.parse_args(argv)
@@ -81,14 +87,15 @@ def main(argv=None):
     points_3d = jnp.asarray(test_records[0].keypoints_3d)
     run_partition(model, variables, test_records, points_3d, writer,
                   real=False, key=key, batch_size=args.batch_size,
-                  crop_size=args.crop_size, norm_mean=args.norm_mean)
+                  crop_size=args.crop_size, norm_mean=args.norm_mean,
+                  crop_rule=args.crop_rule)
     if args.real_test_pkl:
         real_records = speed_data.records_from_pickle(args.real_test_pkl,
                                                       args.image_root)
         run_partition(model, variables, real_records, points_3d, writer,
                       real=True, key=jax.random.fold_in(key, 1),
                       batch_size=args.batch_size, crop_size=args.crop_size,
-                      norm_mean=args.norm_mean)
+                      norm_mean=args.norm_mean, crop_rule=args.crop_rule)
     path = writer.export(out_dir=args.workdir, suffix=args.suffix)
     print(f'Submission saved to {path}.')
     return path

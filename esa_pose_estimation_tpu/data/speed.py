@@ -110,10 +110,14 @@ SYNTHETIC_NAME_LEN = 13
 def mixed_image_path(image_root: str, rgb_pth: str,
                      train_dir: str = 'train',
                      real_dir: str = 'real_test') -> str:
-    """data_load5.py:110-113 path rule: 13-char filenames live under
-    ``train/``, everything else under ``real_test/``."""
-    sub = (train_dir if len(os.path.basename(rgb_pth)) == SYNTHETIC_NAME_LEN
-           else real_dir)
+    """data_load5.py:110-113 path rule: 13-char record paths live under
+    ``train/``, everything else under ``real_test/``.
+
+    The reference tests ``len(des['rgb_pth'])`` on the FULL string, not
+    the basename — a record whose ``rgb_pth`` carried a directory prefix
+    would route to ``real_test/`` regardless of its filename, and we
+    reproduce exactly that."""
+    sub = (train_dir if len(rgb_pth) == SYNTHETIC_NAME_LEN else real_dir)
     return os.path.join(image_root, sub, rgb_pth)
 
 

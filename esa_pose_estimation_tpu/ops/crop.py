@@ -101,11 +101,18 @@ def _expand_box_int(c0: jnp.ndarray, c1: jnp.ndarray, half: jnp.ndarray,
 
 
 def adjust_bbox(bbox: jnp.ndarray, img_w: int = 1920, img_h: int = 1200,
-                k: float = 1.05) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                k: float = 1.05, force_square: bool = True
+                ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Square-expand and clamp a detector box (data_load4.py:110-146).
 
     bbox: (..., 4) corners [x1, y1, x2, y2] (the reference's ``des['bbox']``
     layout produced by mask_to_bbox, data_load4.py:17-38).
+
+    ``force_square=False`` is the submission-dataset variant
+    (data_load_val.py:125-157): identical shift-back clamping, but the
+    pre-clamp square-equalization step (data_load4.py:120-121) is commented
+    out there (data_load_val.py:136-137), so truncation can leave the
+    un-clamped box one pixel off square.
 
     Returns (origin (..., 2) int32 [x_new, y_new],
              crop_sizes (..., 2) int32 [xsize, ysize],
@@ -118,9 +125,10 @@ def adjust_bbox(bbox: jnp.ndarray, img_w: int = 1920, img_h: int = 1200,
 
     x_new, y_new, w_new, h_new = _expand_box_int(
         c0, c1, half, k, table_size=max(img_w, img_h) + 2)
-    # force square (data_load4.py:120-121)
-    h_new = jnp.where(w_new - x_new != h_new - y_new,
-                      y_new + (w_new - x_new), h_new)
+    if force_square:
+        # force square (data_load4.py:120-121)
+        h_new = jnp.where(w_new - x_new != h_new - y_new,
+                          y_new + (w_new - x_new), h_new)
     # clamp-shift into the frame (data_load4.py:123-140)
     w_new = jnp.where(x_new < 0, w_new - x_new, w_new)
     x_new = jnp.maximum(x_new, 0)
@@ -140,6 +148,14 @@ def adjust_bbox(bbox: jnp.ndarray, img_w: int = 1920, img_h: int = 1200,
     origin = jnp.stack([x_new, y_new], axis=-1)
     crop_sizes = jnp.stack([xsize, ysize], axis=-1)
     return origin, crop_sizes, size
+
+
+def adjust_bbox_val(bbox: jnp.ndarray, img_w: int = 1920, img_h: int = 1200,
+                    k: float = 1.05
+                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The ESAValDataSet submission crop box (data_load_val.py:125-157):
+    the data_load4 rule without the square-equalization step."""
+    return adjust_bbox(bbox, img_w, img_h, k, force_square=False)
 
 
 def _interp_matrix(samples: jnp.ndarray, in_size: int) -> jnp.ndarray:
@@ -175,19 +191,31 @@ def crop_resize_from_boxes(images: jnp.ndarray, origin: jnp.ndarray,
     size: (B,).  cv2.resize INTER_LINEAR half-pixel convention; clamped
     sample coordinates reproduce edge padding exactly.  Implemented as two
     dense interpolation matmuls (see :func:`_interp_matrix`).
+
+    Non-square crops (edge-of-frame boxes too large to shift back into
+    the frame) reproduce the reference's pad call EXACTLY, including its
+    swapped pad widths: ``np.pad(image, ((0, size-xsize), (0,
+    size-ysize)), 'edge')`` (data_load4.py:151, data_load_val.py:168)
+    pads *rows* by the width deficit and *columns* by the height deficit,
+    so the pre-resize image is (ysize + size-xsize, xsize + size-ysize) —
+    square only when xsize == ysize.  Equivalent sampling: each output
+    axis is scaled by its own padded extent and edge-clamped to the true
+    crop extent.
     """
     squeeze = images.ndim == 3
     if squeeze:
         images = images[..., None]
     b, h, w, c = images.shape
     sizef = size.astype(jnp.float32)
-    scale = (sizef / out_size)[:, None]               # (B, 1)
+    xsize = crop_sizes[:, 0:1].astype(jnp.float32)
+    ysize = crop_sizes[:, 1:2].astype(jnp.float32)
+    pad_w = xsize + (sizef[:, None] - ysize)   # reference's swapped pads
+    pad_h = ysize + (sizef[:, None] - xsize)
 
-    grid = (jnp.arange(out_size, dtype=jnp.float32) + 0.5)[None, :] \
-        * scale - 0.5                                  # (B, out)
-    sx = jnp.clip(grid, 0.0, crop_sizes[:, 0:1].astype(jnp.float32) - 1.0) \
+    grid = (jnp.arange(out_size, dtype=jnp.float32) + 0.5)[None, :]
+    sx = jnp.clip(grid * (pad_w / out_size) - 0.5, 0.0, xsize - 1.0) \
         + origin[:, 0:1].astype(jnp.float32)
-    sy = jnp.clip(grid, 0.0, crop_sizes[:, 1:2].astype(jnp.float32) - 1.0) \
+    sy = jnp.clip(grid * (pad_h / out_size) - 0.5, 0.0, ysize - 1.0) \
         + origin[:, 1:2].astype(jnp.float32)
 
     Wy = _interp_matrix(sy, h)                        # (B, out, H)
@@ -199,7 +227,8 @@ def crop_resize_from_boxes(images: jnp.ndarray, origin: jnp.ndarray,
 
 
 def crop_resize(images: jnp.ndarray, bboxes: jnp.ndarray, out_size: int,
-                img_w: int = 1920, img_h: int = 1200, k: float = 1.05
+                img_w: int = 1920, img_h: int = 1200, k: float = 1.05,
+                force_square: bool = True
                 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched detect->crop->resize stage.
 
@@ -208,11 +237,15 @@ def crop_resize(images: jnp.ndarray, bboxes: jnp.ndarray, out_size: int,
              rates (B,) float32 — ``out_size / crop_size``,
              origins (B, 2) int32 — crop top-left [x_new, y_new]).
 
+    ``force_square=False`` selects the submission-dataset box rule
+    (ESAValDataSet, see :func:`adjust_bbox_val`).
+
     Keypoint transform parity (data_load4.py:172): crop-space keypoints are
     ``rate * (kp - origin)``; inverse uncrop is ``pred / rate + origin``
     (demo.py:246).
     """
-    origin, crop_sizes, size = adjust_bbox(bboxes, img_w, img_h, k)
+    origin, crop_sizes, size = adjust_bbox(bboxes, img_w, img_h, k,
+                                           force_square=force_square)
     crops = crop_resize_from_boxes(images, origin, crop_sizes, size, out_size)
     rates = out_size / size.astype(jnp.float32)
     return crops, rates, origin

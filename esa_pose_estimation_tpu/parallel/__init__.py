@@ -4,6 +4,9 @@ from esa_pose_estimation_tpu.parallel.mesh import (  # noqa: F401
     MODEL_AXIS,
     batch_sharding,
     make_mesh,
+    param_sharding,
     replicate,
+    replicated,
     shard_batch,
+    shard_state,
 )

@@ -56,6 +56,43 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def param_sharding(tree: Any, mesh: Mesh,
+                   min_shard_elems: int = 1 << 16) -> Any:
+    """Per-leaf NamedShardings: large kernels sharded over the model axis.
+
+    Output-channel (last-axis) tensor parallelism for any leaf with
+    ``size >= min_shard_elems`` whose last axis divides the model-axis
+    extent; everything else (biases, BN stats, small branch convs, step
+    counters) is replicated.  On the flagship HRNet this shards the head
+    convs (3x3x480x480, 73% of all FLOPs — QUALITY.md §3) so an
+    ``n_model > 1`` mesh splits the dominant matmul across chips and XLA
+    inserts the channel all-gather where the concat head needs it.  With
+    ``n_model == 1`` every leaf is replicated and this is exactly the
+    previous behavior.
+
+    Works on any pytree (params, TrainState incl. Adam moments — the
+    moments share their param's shape so they shard identically).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def rule(x):
+        if (n_model > 1 and hasattr(x, 'ndim') and x.ndim >= 2
+                and x.size >= min_shard_elems
+                and x.shape[-1] % n_model == 0):
+            return NamedSharding(
+                mesh, P(*([None] * (x.ndim - 1)), MODEL_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, tree)
+
+
+def shard_state(tree: Any, mesh: Mesh,
+                min_shard_elems: int = 1 << 16) -> Any:
+    """Place a pytree onto the mesh per :func:`param_sharding`."""
+    return jax.tree.map(jax.device_put, tree,
+                        param_sharding(tree, mesh, min_shard_elems))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

@@ -51,7 +51,8 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
                 lm_iters: int = 10,
                 norm_mean: float = 0.449,
                 norm_std: float = 0.229,
-                disambiguate: bool = True) -> PoseOutput:
+                disambiguate: bool = True,
+                crop_rule: str = 'train') -> PoseOutput:
     """Batched frames + detector boxes -> poses.  Fully jittable.
 
     frames: (B, H, W) grayscale [0, 255]; bboxes: (B, 4) [x1, y1, x2, y2];
@@ -59,12 +60,18 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
     ``norm_mean``: 0.449 for the train/eval path (data_load4.py:81),
     0.485 for the submission datasets (data_load_val.py), 0.5 for the
     train+real mixed set (data_load5.py).
+    ``crop_rule``: 'train' = ESADataSet box rule (data_load4.py:110-146),
+    'val' = ESAValDataSet submission rule without square-equalization
+    (data_load_val.py:125-157).
     """
     if K is None:
         K = jnp.asarray(camera.SPEED_K, jnp.float32)
+    if crop_rule not in ('train', 'val'):
+        raise ValueError(f'unknown crop_rule {crop_rule!r}')
     crops, rates, origins = crop_ops.crop_resize(
         frames, bboxes, crop_size,
-        img_w=frames.shape[2], img_h=frames.shape[1])
+        img_w=frames.shape[2], img_h=frames.shape[1],
+        force_square=crop_rule == 'train')
     x = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]
     hm = model.apply(variables, x, train=False)           # (B, S, S, K)
     coords, maxvals = peak_ops.decode_heatmaps_auto_nhwc(hm)

@@ -105,17 +105,25 @@ def eval_step(state: TrainState, batch: dict[str, jnp.ndarray],
     return out, loss
 
 
-def make_sharded_train_step(mesh, loss_w: float = 10.0) -> Callable:
-    """jit the train step with explicit shardings: state replicated, batch
-    sharded on the 'data' mesh axis."""
+def make_sharded_train_step(mesh, loss_w: float = 10.0,
+                            state: TrainState | None = None) -> Callable:
+    """jit the train step with explicit shardings: batch sharded on the
+    'data' mesh axis; state replicated, or — when a ``state`` template is
+    given and the mesh has a non-trivial 'model' axis — large kernels
+    (and their Adam moments) sharded over 'model' via
+    ``parallel.param_sharding`` (output-channel tensor parallelism on the
+    dominant head convs)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from esa_pose_estimation_tpu.parallel import param_sharding
 
     rep = NamedSharding(mesh, P())
     dat = NamedSharding(mesh, P('data'))
+    st_sh = param_sharding(state, mesh) if state is not None else rep
     return jax.jit(
         partial(train_step, loss_w=loss_w),
-        in_shardings=(rep, dat),
-        out_shardings=(rep, rep),
+        in_shardings=(st_sh, dat),
+        out_shardings=(st_sh, rep),
         donate_argnums=(0,),
     )
 

@@ -55,6 +55,10 @@ def _frame(seed: int) -> np.ndarray:
 
 @pytest.fixture(scope='module')
 def ref_dataset(tmp_path_factory):
+    """Builds the fixture tree and os.chdir()s into it for the MODULE's
+    lifetime (the reference dataset opens ``data/test.pkl`` relative to
+    the cwd) — tests added to this file must not use repo-relative
+    paths."""
     from PIL import Image
 
     tmp = tmp_path_factory.mktemp('esa5_fixture')
@@ -116,6 +120,13 @@ def test_mixed_path_rule_matches(ref_dataset, tmp_path):
         '/r', 'train', SYN_NAME)
     assert mixed_image_path('/r', REAL_NAME) == os.path.join(
         '/r', 'real_test', REAL_NAME)
+    # The reference tests len() on the FULL rgb_pth string, not the
+    # basename: a 13-char basename under a directory prefix routes to
+    # real_test/ there, and must here too.
+    prefixed = os.path.join('sub', SYN_NAME)
+    assert len(os.path.basename(prefixed)) == 13 and len(prefixed) != 13
+    assert mixed_image_path('/r', prefixed) == os.path.join(
+        '/r', 'real_test', prefixed)
 
 
 @pytest.mark.parametrize('i', [0, 1])
@@ -140,6 +151,18 @@ def test_item_matches_reference(ref_dataset, i):
     crops = crop_ops.crop_resize_from_boxes(
         frame[None], origin, crop_sizes, size, SCALE)
     ours = np.asarray(crop_ops.normalize(crops, mean=0.5, std=0.229))[0]
+
+    # the same pixels must come out of the full build_batch(norm_mean=0.5)
+    # path (pins the norm_mean plumbing through data/pipeline.py, which
+    # the --mixed training CLI relies on)
+    from esa_pose_estimation_tpu.data.pipeline import build_batch
+    import jax
+    kp = jnp.asarray(records[i]['sift'], jnp.float32)[None]
+    built = build_batch(jnp.asarray(frame)[None], bboxes, kp,
+                        jax.random.PRNGKey(0), crop_size=SCALE,
+                        train=False, norm_mean=0.5)
+    np.testing.assert_allclose(np.asarray(built['image'])[0, ..., 0],
+                               ours, atol=1e-6)
 
     x_new, y_new, _, _ = bbox
     assert np.asarray(origin)[0].tolist() == [x_new, y_new]

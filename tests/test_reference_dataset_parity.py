@@ -40,12 +40,16 @@ pytestmark = pytest.mark.skipif(
     reason='reference checkout not available')
 
 SCALE = 128
-# x1, y1, x2, y2 — interior, right-edge clamped (stays square), and
-# top-left corner (negative expansion, clamp + square-equalize path)
+# x1, y1, x2, y2 — interior, right-edge clamped (stays square),
+# top-left corner (negative expansion, clamp + square-equalize path),
+# and a tall giant box (size 575) whose height clamp truncates the crop
+# NON-square, exercising the reference's swapped-axis edge pad
+# (np.pad(image, ((0, size-xsize), (0, size-ysize))), data_load4.py:151)
 BBOXES = [
     (400, 300, 700, 520),
     (1700, 100, 1900, 350),
     (5, 10, 180, 200),
+    (800, 25, 1100, 1175),
 ]
 
 
