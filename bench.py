@@ -279,6 +279,84 @@ def bench_two_stage(detector_ckpt: str | None,
     }
 
 
+def bench_train() -> dict:
+    """Sharded training-step throughput on the flagship config (VERDICT r2
+    item 2: the reference is a training codebase, main.py:237-424 — the
+    main workload needs its own measured number).
+
+    One jitted SPMD step (forward + weighted-HeatmapWing loss + backward +
+    Adam + BN stat sync) on hrnet_esa at the reference operating point
+    (128x128 crops, 30 keypoints, bf16 activations), batch staged in HBM,
+    over a mesh of all local devices.  Reports img/s, training MFU from
+    the compiler's own cost model (fwd+bwd+opt FLOPs), and a step-time
+    breakdown (forward-only vs full step).
+    """
+    from esa_pose_estimation_tpu.data import synthetic
+    from esa_pose_estimation_tpu.models import HRNet
+    from esa_pose_estimation_tpu.parallel import (make_mesh, replicate,
+                                                  shard_batch)
+    from esa_pose_estimation_tpu.train import state as state_mod
+    from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+    devices = jax.devices()
+    mesh = make_mesh(n_data=len(devices), n_model=1, devices=devices)
+    cfg = cfg_mod.TrainConfig(batch_size=BATCH, crop_size=128)
+    model = HRNet(cfg_mod.hrnet_esa(), dtype=jnp.bfloat16)
+    st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                      (1, 128, 128, 1))
+    pts = synthetic.spacecraft_points()
+    batch = synthetic.make_batch(jax.random.PRNGKey(1), BATCH, pts,
+                                 crop_size=128)
+    batch = {k: batch[k] for k in ('image', 'heatmaps', 'weights')}
+
+    step = state_mod.make_sharded_train_step(mesh)
+    eval_step = state_mod.make_sharded_eval_step(mesh)
+    st = replicate(st, mesh)
+    sbatch = shard_batch(batch, mesh)
+    sbatch = jax.tree.map(lambda x: x.block_until_ready(), sbatch)
+
+    st, metrics = step(st, sbatch)              # warmup/compile
+    float(metrics['loss'])                      # hard sync
+    out_hm, _ = eval_step(st, sbatch)           # forward-only reference
+    out_hm.block_until_ready()
+
+    start = time.perf_counter()
+    for _ in range(N_ITERS):
+        st, metrics = step(st, sbatch)
+    # hard host transfer, not just block_until_ready: measured on the
+    # axon plugin that lower().compile() on a DONATING jit breaks
+    # block_until_ready synchronization for later calls (it returned in
+    # ~15 ms/step for a 228 ms step -> 580% "MFU"), so (a) the fetch
+    # forces real completion and (b) cost_analysis runs AFTER the loops.
+    float(metrics['loss'])
+    elapsed = time.perf_counter() - start
+
+    fstart = time.perf_counter()
+    for _ in range(N_ITERS):
+        out_hm, loss = eval_step(st, sbatch)
+    float(loss)
+    fwd_elapsed = time.perf_counter() - fstart
+
+    flops = _compiled_flops(step, st, sbatch)   # AFTER timing (see above)
+
+    img_per_s = BATCH * N_ITERS / elapsed
+    out = {
+        'metric': 'training images/sec/chip (fwd+bwd+Adam, batch '
+                  f'{BATCH})',
+        'value': round(img_per_s / len(devices), 2),
+        'unit': 'img/s',
+        'vs_baseline': round(img_per_s / BASELINE_IMG_PER_S, 2),
+        'step_ms': round(elapsed / N_ITERS * 1e3, 2),
+        'fwd_ms': round(fwd_elapsed / N_ITERS * 1e3, 2),
+        'n_devices': len(devices),
+    }
+    if flops:
+        achieved = flops * N_ITERS / elapsed
+        out['flops_per_image'] = round(flops / BATCH / 1e9, 3)   # GFLOP
+        out['mfu'] = round(achieved / (V5E_PEAK_FLOPS * len(devices)), 4)
+    return out
+
+
 def bench_voting() -> dict:
     """RANSAC voting at the reference PVNet operating point (128x128 crop,
     K=32 keypoints, 128 hypotheses — src/ransac_voting_kernel.cu workload;
@@ -319,7 +397,7 @@ def bench_voting() -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--mode', choices=['compute', 'system', 'two-stage',
-                                       'voting'],
+                                       'voting', 'train'],
                     default='compute')
     ap.add_argument('--shard', default=None,
                     help='SPD1 shard for --mode system (auto-written '
@@ -373,6 +451,8 @@ def main(argv=None):
                            host_crop=args.host_crop)
     elif args.mode == 'voting':
         out = bench_voting()
+    elif args.mode == 'train':
+        out = bench_train()
     elif args.mode == 'two-stage':
         out = bench_two_stage(args.detector_ckpt, args.detector_downscale)
     else:

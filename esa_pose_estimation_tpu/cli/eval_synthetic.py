@@ -44,6 +44,15 @@ def main(argv=None):
                     help='tiny model topology (must match a --tiny '
                          'training run)')
     ap.add_argument('--crop-size', type=int, default=128)
+    ap.add_argument('--flip-tta', action='store_true',
+                    help='average heatmaps with a mirrored-input forward '
+                         'pass (transforms.py:16-30 flip_back semantics); '
+                         '2x forward cost')
+    ap.add_argument('--mirror-evidence', choices=('heatmap', 'cost'),
+                    default='heatmap',
+                    help='mirror-pose disambiguation signal: reprojected-'
+                         'keypoint heatmap likelihood (default) or LM '
+                         'cost alone (the round-2 behavior)')
     args = ap.parse_args(argv)
 
     import os
@@ -117,7 +126,9 @@ def main(argv=None):
                           points_3d, jax.random.fold_in(key, 7),
                           crop_size=args.crop_size, conf_threshold=0.6,
                           min_keypoints=0,
-                          n_hypotheses=args.n_hypotheses)
+                          n_hypotheses=args.n_hypotheses,
+                          flip_tta=args.flip_tta,
+                          mirror_evidence=args.mirror_evidence)
         s = speed_score_from_matrices(out.R, out.trans, batch['quat'],
                                       batch['trans'])
         all_scores.append(np.asarray(s.score_t) + np.asarray(s.score_r))

@@ -47,11 +47,20 @@ from esa_pose_estimation_tpu.utils import config as cfg_mod
 
 def evaluate(model, variables, eval_batches, points_3d, key,
              crop_size: int = 128, norm_mean: float = 0.449,
-             norm_std: float = 0.229):
-    """SPEED-score evaluation loop (demo.py:79-369 parity, batched)."""
+             norm_std: float = 0.229, panel_dir: str | None = None,
+             n_panels: int = 4):
+    """SPEED-score evaluation loop (demo.py:79-369 parity, batched).
+
+    ``panel_dir``: when set, the first ``n_panels`` frames of the first
+    batch are rendered as overlay PNGs (frame + pred/gt keypoints + box +
+    heatmap composite) under that directory — the Recorder image-panel
+    role (lib/utils/net_utils.py:174-239), referenced from the caller's
+    JSONL eval event via the returned ``panel_dir`` key.
+    """
     score_t = AverageMeter()
     score_r = AverageMeter()
     pix_err = AverageMeter()
+    panels_written = None
     for i, batch in enumerate(eval_batches):
         out = infer_poses(model, variables,
                           jnp.asarray(batch['frame']),
@@ -74,8 +83,29 @@ def evaluate(model, variables, eval_batches, points_3d, key,
             sel = np.asarray(out.selected)
             if sel.any():
                 pix_err.update(float(err[sel].mean()), n=int(sel.sum()))
-    return {'score_t': score_t.avg, 'score_r': score_r.avg,
-            'speed': score_t.avg + score_r.avg, 'pix_err': pix_err.avg}
+        if i == 0 and panel_dir:
+            from esa_pose_estimation_tpu.obs.visual import save_eval_panel
+            os.makedirs(panel_dir, exist_ok=True)
+            frames = np.asarray(batch['frame'])
+            hms = np.asarray(out.heatmaps, np.float32)
+            kp_gt = (np.asarray(batch['keypoints_2d'])
+                     if 'keypoints_2d' in batch else None)
+            total = st + sr
+            for j in range(min(n_panels, frames.shape[0])):
+                save_eval_panel(
+                    os.path.join(panel_dir, f'frame{j:02d}.png'),
+                    frames[j],
+                    kp_pred=np.asarray(out.keypoints_2d)[j],
+                    kp_gt=None if kp_gt is None else kp_gt[j],
+                    heatmaps=hms[j],
+                    bbox=np.asarray(batch['bbox'])[j],
+                    title=f'speed={total[j]:.4f}')
+            panels_written = panel_dir
+    result = {'score_t': score_t.avg, 'score_r': score_r.avg,
+              'speed': score_t.avg + score_r.avg, 'pix_err': pix_err.avg}
+    if panels_written:
+        result['panel_dir'] = panels_written
+    return result
 
 
 def make_synthetic_epoch(key, n_batches, batch_size, points_3d, crop_size):
@@ -229,6 +259,14 @@ def train(args) -> dict:
 
         if is_eval:
             variables = {'params': st.params, 'batch_stats': st.batch_stats}
+
+            def panel_dir(ep):
+                # Recorder image-panel parity (net_utils.py:174-239):
+                # overlay PNGs per eval epoch, path recorded in the JSONL
+                # eval event; --no-panels disables.
+                if not args.eval_panels:
+                    return None
+                return os.path.join(workdir, 'panels', f'epoch{ep + 1:03d}')
             if use_shard:
                 import itertools
 
@@ -240,7 +278,8 @@ def train(args) -> dict:
                 result = evaluate(model, variables,
                                   itertools.islice(iter(eval_loader), 4),
                                   points_3d, jax.random.fold_in(key, 777),
-                                  cfg.crop_size, norm_mean=norm_mean)
+                                  cfg.crop_size, norm_mean=norm_mean,
+                                  panel_dir=panel_dir(epoch))
                 eval_loader.close()
             elif use_real:
                 eval_loader = speed_data.BatchLoader(
@@ -248,7 +287,8 @@ def train(args) -> dict:
                     shuffle=False)
                 result = evaluate(model, variables, eval_loader, points_3d,
                                   jax.random.fold_in(key, 777),
-                                  cfg.crop_size, norm_mean=norm_mean)
+                                  cfg.crop_size, norm_mean=norm_mean,
+                                  panel_dir=panel_dir(epoch))
             else:
                 # frame-carrying synthetic batches: the eval drives the
                 # full frames -> crop -> heatmap -> pose serving path on
@@ -261,7 +301,8 @@ def train(args) -> dict:
                     for j in range(4)]
                 result = evaluate(model, variables, eval_batches, points_3d,
                                   jax.random.fold_in(key, 777),
-                                  cfg.crop_size, norm_mean=norm_mean)
+                                  cfg.crop_size, norm_mean=norm_mean,
+                                  panel_dir=panel_dir(epoch))
             best = ckpt.save_rolling(st, epoch,
                                      score_tran=result['score_t'],
                                      score_rotate=result['score_r'],
@@ -310,6 +351,9 @@ def main(argv=None):
                     help='comma-separated epoch boundaries for the 10x '
                          'LR drops (default: reference 80,100,170 scaled '
                          'to --epochs)')
+    ap.add_argument('--no-panels', dest='eval_panels',
+                    action='store_false',
+                    help='skip the per-eval overlay PNG panels')
     ap.add_argument('--tiny', action='store_true',
                     help='tiny model/config for smoke tests')
     ap.add_argument('--max-retries', type=int, default=0,

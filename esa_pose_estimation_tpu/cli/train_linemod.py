@@ -156,21 +156,48 @@ def make_icosphere(radius=0.06, subdiv=2):
     return verts.astype(np.float32), faces
 
 
-def make_real_step(model, mode: str, size: int, num_keypoints: int, tx):
+def make_real_step(model, mode: str, size: int, num_keypoints: int, tx,
+                   augment: bool = False):
     """One jitted optimizer step on real-layout batches: device-side
-    LINEMOD crop (x1.1 rule) -> RGB normalize -> targets -> loss."""
+    LINEMOD crop (x1.1 rule) -> [augmentation] -> RGB normalize ->
+    targets -> loss.
+
+    ``augment=True`` runs the reference's real-LINEMOD training chain
+    (LineModDatasetRealAug.augmentation, linemod_dataset.py:256-293) as
+    batched device ops on the crops: occlusion mask-out (p=0.5) ->
+    instance rotation -> crop_resize_instance_v2 (scale + window jitter)
+    -> horizontal flip (p=0.5) -> add_noise (gaussian/motion blur),
+    with keypoints transformed alongside.
+    """
+    from esa_pose_estimation_tpu.data import augment as aug_ops
 
     @jax.jit
-    def step(params, batch_stats, opt_state, frames, bboxes, kp2d, masks):
+    def step(params, batch_stats, opt_state, frames, bboxes, kp2d, masks,
+             key):
         origin, crop_sizes, csize = crop_ops.adjust_bbox_linemod(
             bboxes, img_w=frames.shape[2], img_h=frames.shape[1],
             min_size=size)
         crops = crop_ops.crop_resize_stretch(frames, origin, crop_sizes,
                                              size)
-        img = crop_ops.normalize_rgb(crops)
         rate = size / csize.astype(jnp.float32)
         kp_crop = (kp2d - origin[:, None, :].astype(jnp.float32)
                    ) * rate[:, None, None]
+        mcrop = (crop_ops.crop_resize_stretch(
+            masks, origin, crop_sizes, size) > 0.5).astype(jnp.float32)
+        if augment:
+            ko, kr, kc, kf, kn, ksel = jax.random.split(key, 6)
+            occluded = aug_ops.random_occlusion(ko, mcrop)
+            do_occ = jax.random.bernoulli(ksel, 0.5, (mcrop.shape[0],))
+            mcrop = jnp.where(do_occ[:, None, None], occluded, mcrop)
+            crops, mcrop, kp_crop = aug_ops.random_rotate(
+                kr, crops, mcrop, kp_crop,
+                max_deg=30.0)
+            crops, mcrop, kp_crop = aug_ops.random_crop_resize_v2(
+                kc, crops, mcrop, kp_crop, size, size)
+            crops, mcrop, kp_crop = aug_ops.random_flip(
+                kf, crops, mcrop, kp_crop)
+            crops = aug_ops.random_add_noise(kn, crops)
+        img = crop_ops.normalize_rgb(crops)
 
         def loss_fn(p):
             out, mut = model.apply({'params': p, 'batch_stats': batch_stats},
@@ -182,9 +209,6 @@ def make_real_step(model, mode: str, size: int, num_keypoints: int, tx):
                     jnp.transpose(wm, (0, 2, 3, 1)))
             else:
                 seg, vert = out
-                mcrop = (crop_ops.crop_resize_stretch(
-                    masks, origin, crop_sizes, size) > 0.5).astype(
-                        jnp.float32)
                 target = vertex_ops.vertex_field(mcrop, kp_crop)
                 loss = pvnet_loss(seg, vert, mcrop, target)
             return loss, mut
@@ -354,19 +378,21 @@ def train(args) -> dict:
 
     if use_real:
         real_step = make_real_step(model, args.mode, size,
-                                   args.num_keypoints, tx)
+                                   args.num_keypoints, tx,
+                                   augment=args.augment)
         for epoch in range(begin_epoch, args.epochs):
             loader = linemod_data.LinemodBatchLoader(
                 train_records, args.image_root, args.cls, args.batch_size,
                 shuffle=True, seed=args.seed + epoch,
                 frame_hw=(args.frame_h, args.frame_w))
             losses = []
-            for batch in loader:
+            for bi, batch in enumerate(loader):
                 params, batch_stats, opt_state, loss = real_step(
                     params, batch_stats, opt_state,
                     jnp.asarray(batch['frame']), jnp.asarray(batch['bbox']),
                     jnp.asarray(batch['keypoints_2d']),
-                    jnp.asarray(batch['mask']))
+                    jnp.asarray(batch['mask']),
+                    jax.random.fold_in(key, epoch * 100003 + bi))
                 losses.append(float(loss))
             logger.append([epoch + 1, args.lr, float(np.mean(losses))])
             print(f'{args.cls} epoch {epoch + 1}: '
@@ -505,6 +531,12 @@ def main(argv=None):
     ap.add_argument('--ply', default=None,
                     help='object mesh for ADD metrics (else the record '
                          'sift_3d cloud is used)')
+    ap.add_argument('--augment', action='store_true',
+                    help='real-data path: run the PVNet training '
+                         'augmentation chain (occlusion mask-out, instance '
+                         'rotation, crop_resize_instance_v2 scale/window '
+                         'jitter, flip, add_noise) on-device per batch '
+                         '(linemod_dataset.py:256-293 parity)')
     ap.add_argument('--no-fuse', dest='use_fuse', action='store_false')
     ap.add_argument('--no-render', dest='use_render', action='store_false')
     ap.add_argument('--frame-h', type=int, default=480)

@@ -446,7 +446,9 @@ def crop_resize_instance_v2(images: jnp.ndarray, masks: jnp.ndarray,
     r = jnp.where(do_resize, resize_ratio, 1.0)
     rh = jnp.trunc(h * r).astype(jnp.int32)    # resized extents, int()
     rw = jnp.trunc(w * r).astype(jnp.int32)
-    off = fixed_size_offsets_dynamic(h, w, rh, rw, hbeg, wbeg)
+    # the crop/pad stage's INPUT is the resized image (rh, rw) and its
+    # target is (out_h, out_w) — pad iff out >= resized
+    off = fixed_size_offsets_dynamic(rh, rw, out_h, out_w, hbeg, wbeg)
 
     rhf = rh.astype(jnp.float32)[:, None]
     rwf = rw.astype(jnp.float32)[:, None]

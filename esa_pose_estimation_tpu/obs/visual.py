@@ -111,3 +111,60 @@ def overlay_mask(ax, image: np.ndarray, mask: np.ndarray, alpha=0.4,
     overlay[..., :3] = color
     overlay[..., 3] = np.asarray(mask, np.float32) * alpha
     ax.imshow(overlay)
+
+
+def save_eval_panel(path: str, frame: np.ndarray,
+                    kp_pred: np.ndarray | None = None,
+                    kp_gt: np.ndarray | None = None,
+                    heatmaps: np.ndarray | None = None,
+                    bbox: np.ndarray | None = None,
+                    corners_pred: np.ndarray | None = None,
+                    title: str = '') -> str:
+    """Write one eval panel PNG: the frame with predicted (x) vs
+    ground-truth (o) keypoints, the detector box, an optional bb8
+    overlay, and — when given — the heatmap max-composite as a second
+    subplot.  The TPU-native stand-in for the reference Recorder's
+    tensorboardX image/segmentation panels
+    (lib/utils/net_utils.py:174-239), emitted as plain files referenced
+    from the JSONL event stream.
+
+    frame: (H, W) grayscale [0, 255]; heatmaps: (S, S, K) crop-space.
+    Returns ``path``.
+    """
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    ncols = 2 if heatmaps is not None else 1
+    fig, axes = plt.subplots(1, ncols, figsize=(6 * ncols, 4.2))
+    axes = np.atleast_1d(axes)
+    ax = axes[0]
+    ax.imshow(np.asarray(frame), cmap='gray', vmin=0, vmax=255)
+    if bbox is not None:
+        x1, y1, x2, y2 = np.asarray(bbox, float)
+        ax.plot([x1, x2, x2, x1, x1], [y1, y1, y2, y2, y1], 'c-',
+                linewidth=1.0)
+    if kp_gt is not None:
+        kp_gt = np.asarray(kp_gt)
+        ax.plot(kp_gt[:, 0], kp_gt[:, 1], 'o', color='lime',
+                markersize=4, markerfacecolor='none', label='gt')
+    if kp_pred is not None:
+        kp_pred = np.asarray(kp_pred)
+        ax.plot(kp_pred[:, 0], kp_pred[:, 1], 'rx', markersize=4,
+                label='pred')
+    if corners_pred is not None:
+        draw_bounding_box(ax, np.asarray(corners_pred), color='y',
+                          linewidth=1.0)
+    if kp_pred is not None or kp_gt is not None:
+        ax.legend(loc='upper right', fontsize=7)
+    ax.set_title(title, fontsize=9)
+    ax.axis('off')
+    if heatmaps is not None:
+        hm = np.asarray(heatmaps, np.float32)
+        axes[1].imshow(hm.max(axis=-1), cmap='magma')
+        axes[1].set_title('heatmap max-composite', fontsize=9)
+        axes[1].axis('off')
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path

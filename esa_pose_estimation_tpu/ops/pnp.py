@@ -175,9 +175,12 @@ def mirror_pose(points_3d: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray,
 def lm_refine_dual(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
                    weights: jnp.ndarray, K: jnp.ndarray,
                    R0: jnp.ndarray, t0: jnp.ndarray,
-                   iters: int = 20) -> tuple[jnp.ndarray, jnp.ndarray]:
+                   iters: int = 20,
+                   evidence_fn=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """LM-refine both the given pose and its weak-perspective mirror;
-    keep whichever ends at lower weighted reprojection cost.
+    keep whichever ends at lower weighted reprojection cost — or, when
+    ``evidence_fn`` is given, at HIGHER external evidence (LM cost as the
+    tiebreak within 1e-6).
 
     Resolves the far-depth two-fold rotation ambiguity that a single
     local refinement cannot escape (measured on trained-model eval
@@ -186,16 +189,92 @@ def lm_refine_dual(points_3d: jnp.ndarray, points_2d: jnp.ndarray,
     noise).  Both candidates refine as ONE batched LM over a new
     leading axis of size 2, so the cost is one extra LM problem per
     frame, not a second dispatch.
+
+    ``evidence_fn(R, t) -> (...,) score`` scores candidate poses over the
+    stacked leading axis; the serving pipeline passes reprojected-keypoint
+    heatmap likelihood (the analogue of the reference weighting residuals
+    by per-keypoint heatmap peaks in cpnp.cpnp_m, val.py:192-209) so the
+    mirror choice uses the network's full spatial belief, not just the
+    geometric fit of the already-decoded peaks.
     """
     Rm, tm = mirror_pose(points_3d, R0, t0, weights)
     Rb = jnp.stack([R0, Rm], axis=0)                   # (2, ..., 3, 3)
     tb = jnp.stack([t0, tm], axis=0)
     R, t, cost = _lm_refine_batched(points_3d[None], points_2d[None],
                                     weights[None], K[None], Rb, tb, iters)
-    pick = jnp.argmin(cost, axis=0)                    # (...,)
+    if evidence_fn is None:
+        pick = jnp.argmin(cost, axis=0)                # (...,)
+    else:
+        ev = evidence_fn(R, t)                         # (2, ...)
+        # higher evidence wins; near-ties (within 1e-6 of each other)
+        # fall back to the LM cost so pure-noise evidence cannot flip a
+        # clearly better geometric fit
+        tie = jnp.abs(ev[0] - ev[1]) <= 1e-6 * (jnp.abs(ev).max(axis=0)
+                                                + 1e-12)
+        pick = jnp.where(tie, jnp.argmin(cost, axis=0),
+                         jnp.argmax(ev, axis=0))
     R = jnp.take_along_axis(R, pick[None, ..., None, None], axis=0)[0]
     t = jnp.take_along_axis(t, pick[None, ..., None], axis=0)[0]
     return R, t
+
+
+def heatmap_evidence(heatmaps_nhwc: jnp.ndarray, points_3d: jnp.ndarray,
+                     K: jnp.ndarray, rates: jnp.ndarray,
+                     origins: jnp.ndarray,
+                     valid: jnp.ndarray | None = None):
+    """Evidence closure for :func:`lm_refine_dual`: sum of bilinear
+    heatmap values at each candidate pose's reprojected keypoints.
+
+    heatmaps_nhwc: (B, S, S, Kp); points_3d: (B, Kp, 3); rates: (B,);
+    origins: (B, 2); valid: (B, Kp) bool mask of keypoints to count.
+    Returns ``fn(R, t) -> (..., B)`` accepting stacked candidates
+    (2, B, 3, 3) / (2, B, 3).  Out-of-crop reprojections contribute zero
+    (taps outside the heatmap have no support).
+    """
+    b, s = heatmaps_nhwc.shape[0], heatmaps_nhwc.shape[1]
+    kp = heatmaps_nhwc.shape[-1]
+    hm_flat = jnp.transpose(heatmaps_nhwc, (0, 3, 1, 2)).reshape(
+        b, kp, s * s).astype(jnp.float32)               # (B, Kp, S*S)
+    vmask = (jnp.ones((b, kp), jnp.float32) if valid is None
+             else valid.astype(jnp.float32))
+
+    batch_ndim = points_3d.ndim - 2                     # dims before (Kp, 3)
+
+    def fn(R, t):
+        lead = R.shape[:R.ndim - 2 - batch_ndim]        # e.g. (2,)
+        p3 = jnp.broadcast_to(points_3d, lead + points_3d.shape)
+        pc = linalg.einsum('...ij,...nj->...ni', R, p3) + t[..., None, :]
+        z = jnp.maximum(pc[..., 2], 1e-6)
+        xy = pc[..., :2] / z[..., None]
+        fx, fy = K[..., 0, 0], K[..., 1, 1]
+        cx, cy = K[..., 0, 2], K[..., 1, 2]
+        if fx.ndim:                                     # per-batch K
+            fx, fy, cx, cy = (a[..., None] for a in (fx, fy, cx, cy))
+        px = xy[..., 0] * fx + cx                       # full-frame pixels
+        py = xy[..., 1] * fy + cy
+        cxp = (px - origins[..., 0:1].astype(jnp.float32)) \
+            * rates[..., None]                          # crop space
+        cyp = (py - origins[..., 1:2].astype(jnp.float32)) \
+            * rates[..., None]
+        x0 = jnp.floor(cxp).astype(jnp.int32)
+        y0 = jnp.floor(cyp).astype(jnp.int32)
+        fxw = cxp - x0
+        fyw = cyp - y0
+        flat = jnp.broadcast_to(hm_flat, lead + hm_flat.shape)
+
+        def tap(yy, xx):
+            inb = ((xx >= 0) & (xx < s) & (yy >= 0) & (yy < s))
+            idx = jnp.clip(yy, 0, s - 1) * s + jnp.clip(xx, 0, s - 1)
+            v = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+            return v * inb.astype(jnp.float32)
+
+        val = (tap(y0, x0) * (1 - fxw) * (1 - fyw)
+               + tap(y0, x0 + 1) * fxw * (1 - fyw)
+               + tap(y0 + 1, x0) * (1 - fxw) * fyw
+               + tap(y0 + 1, x0 + 1) * fxw * fyw)
+        return (val * vmask).sum(axis=-1)               # (..., B)
+
+    return fn
 
 
 @partial(jax.jit, static_argnames=('iters',))

@@ -38,6 +38,11 @@ class PoseOutput(NamedTuple):
     keypoints_2d: jnp.ndarray  # (B, K, 2) full-frame pixel predictions
     confidences: jnp.ndarray   # (B, K) heatmap peak values
     selected: jnp.ndarray      # (B, K) bool keypoints used for the pose
+    heatmaps: jnp.ndarray      # (B, S, S, K) network output (device-lazy;
+    #                            only transferred if the caller reads it —
+    #                            eval panels and evidence debugging do)
+    rates: jnp.ndarray         # (B,) crop rate (uncrop: pred/rate+origin)
+    origins: jnp.ndarray       # (B, 2) crop top-left
 
 
 def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
@@ -52,7 +57,9 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
                 norm_mean: float = 0.449,
                 norm_std: float = 0.229,
                 disambiguate: bool = True,
-                crop_rule: str = 'train') -> PoseOutput:
+                crop_rule: str = 'train',
+                flip_tta: bool = False,
+                mirror_evidence: str = 'heatmap') -> PoseOutput:
     """Batched frames + detector boxes -> poses.  Fully jittable.
 
     frames: (B, H, W) grayscale [0, 255]; bboxes: (B, 4) [x1, y1, x2, y2];
@@ -74,6 +81,13 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
         force_square=crop_rule == 'train')
     x = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]
     hm = model.apply(variables, x, train=False)           # (B, S, S, K)
+    if flip_tta:
+        # flip-TTA (transforms.py:16-30 flip_back semantics, batched in
+        # NHWC): forward the mirrored crop, un-flip its heatmaps, average.
+        # SPEED's 30 spacecraft keypoints have no left/right pairs, so the
+        # channel swap is the identity; 2x forward cost.
+        hm_f = model.apply(variables, x[:, :, ::-1, :], train=False)
+        hm = (hm + hm_f[:, :, ::-1, :]) * 0.5
     coords, maxvals = peak_ops.decode_heatmaps_auto_nhwc(hm)
     sel = peak_ops.select_confident(maxvals, conf_threshold,
                                     min_count=min_keypoints)
@@ -94,14 +108,26 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
     keep = jnp.where(enough, keep, sel)
     w = jnp.where(keep, maxvals, 0.0)
     # `disambiguate` also refines the weak-perspective mirror pose and
-    # keeps the lower-cost one — rescues ~90-degree rotation flips on
+    # keeps the better one — rescues ~90-degree rotation flips on
     # far-depth frames (see ops/pnp.lm_refine_dual) for one extra
-    # batched LM problem per frame.
-    refine = pnp_mod.lm_refine_dual if disambiguate else pnp_mod.lm_refine
-    R, t = refine(p3, uncropped, w, K, init.R, init.t, iters=lm_iters)
+    # batched LM problem per frame.  ``mirror_evidence='heatmap'`` picks
+    # between the two candidates by summed heatmap likelihood at their
+    # reprojections (the network's full spatial belief) instead of LM
+    # cost alone.
+    if disambiguate:
+        ev_fn = None
+        if mirror_evidence == 'heatmap':
+            ev_fn = pnp_mod.heatmap_evidence(
+                hm.astype(jnp.float32), p3, K, rates, origins, valid=sel)
+        R, t = pnp_mod.lm_refine_dual(p3, uncropped, w, K, init.R, init.t,
+                                      iters=lm_iters, evidence_fn=ev_fn)
+    else:
+        R, t = pnp_mod.lm_refine(p3, uncropped, w, K, init.R, init.t,
+                                 iters=lm_iters)
     return PoseOutput(quat=rotmat_to_quat(R), trans=t, R=R,
                       keypoints_2d=uncropped, confidences=maxvals,
-                      selected=sel)
+                      selected=sel, heatmaps=hm, rates=rates,
+                      origins=origins)
 
 
 def make_jitted_pipeline(model, points_3d: jnp.ndarray,

@@ -195,16 +195,24 @@ CropBox esa_crop_box(const float* bbox, int img_w, int img_h, double k) {
 // Bilinear-resample the crop window to (out, out) f32, edge-clamped —
 // identical sampling rule to ops/crop.py:crop_resize_from_boxes (cv2
 // INTER_LINEAR half-pixel convention; clamping reproduces edge padding).
+// Non-square clamped windows reproduce the reference's SWAPPED pad
+// widths exactly (np.pad(image, ((0, size-xsize), (0, size-ysize))),
+// data_load4.py:151 — rows padded by the width deficit): each axis is
+// scaled by its own padded extent and edge-clamped to the true extent.
 // src points at row y0 of the frame (row stride = width).
 void resample_crop(const uint8_t* src, int width, const CropBox& cb,
                    int out, float* dst) {
   std::vector<int> xi0(out), xi1(out), yi0(out), yi1(out);
   std::vector<float> xf(out), yf(out);
-  double scale = static_cast<double>(cb.size) / out;
+  double pad_w = static_cast<double>(cb.xs + (cb.size - cb.ys));
+  double pad_h = static_cast<double>(cb.ys + (cb.size - cb.xs));
+  double scale_x = pad_w / out;
+  double scale_y = pad_h / out;
   for (int i = 0; i < out; ++i) {
-    double g = (i + 0.5) * scale - 0.5;
-    double sx = std::min(std::max(g, 0.0), static_cast<double>(cb.xs - 1));
-    double sy = std::min(std::max(g, 0.0), static_cast<double>(cb.ys - 1));
+    double gx = (i + 0.5) * scale_x - 0.5;
+    double gy = (i + 0.5) * scale_y - 0.5;
+    double sx = std::min(std::max(gx, 0.0), static_cast<double>(cb.xs - 1));
+    double sy = std::min(std::max(gy, 0.0), static_cast<double>(cb.ys - 1));
     int fx = static_cast<int>(sx), fy = static_cast<int>(sy);
     xi0[i] = fx;
     xi1[i] = std::min(fx + 1, cb.xs - 1);

@@ -19,3 +19,37 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers.  The compile-heavy end-to-end suites dominate wall time on a
+# 1-core CPU host (measured per-module: sharded_serving 321s, voting+pnp
+# ~8 min, pipeline 206s, linemod_real 180s, cli 169s, models 158s, train
+# 132s, torch_import 108s, forward_parity 93s, detector 92s).  They carry
+# the `slow` marker, applied per-module here so the list has one home:
+#
+#   pytest -m "not slow"   # fast tier, < 5 min (README "Testing")
+#   pytest                 # everything
+# ---------------------------------------------------------------------------
+SLOW_MODULES = {
+    "test_cli",
+    "test_detector",
+    "test_linemod_real",
+    "test_models",
+    "test_pipeline",
+    "test_pnp",
+    "test_reference_forward_parity",
+    "test_sharded_serving",
+    "test_torch_import",
+    "test_train",
+    "test_train_linemod",
+    "test_voting",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if item.module and item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

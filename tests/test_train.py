@@ -1,6 +1,7 @@
 """Training stack tests: losses vs torch transcription, sharded train step
 convergence on synthetic data, LR schedule, checkpointing round trip."""
 
+import os
 import numpy as np
 import pytest
 
@@ -202,3 +203,33 @@ class TestSyntheticData:
                                      crop_size=32, render=False)
         z = np.asarray(batch['trans'][:, 2])
         assert (z > 4.9).all() and (z < 30.1).all()
+
+
+class TestEvalPanels:
+    def test_evaluate_writes_panels_and_reports_dir(self, tmp_path):
+        """cli.train.evaluate(panel_dir=...) emits one PNG per frame (up
+        to n_panels) from the first batch and returns the directory so
+        the JSONL eval event references it (VERDICT r2 item 9)."""
+        import jax
+        import numpy as np
+
+        from esa_pose_estimation_tpu.cli.train import evaluate
+        from esa_pose_estimation_tpu.data import synthetic
+        from esa_pose_estimation_tpu.models import HRNet
+        from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+        model = HRNet(cfg_mod.hrnet_tiny())
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 1)), train=False)
+        pts = synthetic.spacecraft_points(6)
+        batch = synthetic.make_batch(jax.random.PRNGKey(1), 3, pts,
+                                     crop_size=32, with_frames=True)
+        pdir = str(tmp_path / 'panels' / 'epoch001')
+        result = evaluate(model, variables, [batch], pts,
+                          jax.random.PRNGKey(2), crop_size=32,
+                          panel_dir=pdir, n_panels=2)
+        assert result['panel_dir'] == pdir
+        pngs = sorted(os.listdir(pdir))
+        assert pngs == ['frame00.png', 'frame01.png']
+        assert all(os.path.getsize(os.path.join(pdir, p)) > 1000
+                   for p in pngs)

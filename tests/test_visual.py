@@ -59,3 +59,22 @@ class TestVisual:
         _, w, h, angle = visual.covariance_ellipse(np.zeros(2), cov, 1.0)
         assert w == 6.0 and h == 2.0
         assert abs(angle) % 180 < 1e-6
+
+
+def test_save_eval_panel(tmp_path):
+    """One overlay PNG (frame + pred/gt keypoints + box + heatmap
+    composite) — the Recorder image-panel equivalent
+    (net_utils.py:174-239)."""
+    import numpy as np
+    from esa_pose_estimation_tpu.obs.visual import save_eval_panel
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 255, (120, 160)).astype(np.uint8)
+    kp = rng.uniform(20, 100, (8, 2))
+    hm = rng.uniform(0, 1, (32, 32, 8)).astype(np.float32)
+    path = save_eval_panel(str(tmp_path / 'p.png'), frame,
+                           kp_pred=kp, kp_gt=kp + 2.0, heatmaps=hm,
+                           bbox=np.asarray([20, 20, 100, 100]),
+                           title='speed=0.0100')
+    assert (tmp_path / 'p.png').exists()
+    assert (tmp_path / 'p.png').stat().st_size > 1000
