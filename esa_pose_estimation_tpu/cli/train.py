@@ -231,15 +231,26 @@ def train(args) -> dict:
                 ekey, steps_per_epoch, cfg.batch_size, points_3d,
                 cfg.crop_size)
 
+        # Per-step losses stay ON DEVICE; the host fetches one value per
+        # print interval and the exact epoch mean once at epoch end.  A
+        # per-step float(loss) costs a full host round-trip per step —
+        # through a remote-TPU tunnel that was measured at ~0.7 s/step,
+        # turning a 40 s epoch into 5+ minutes (the reference's per-10
+        # print cadence, main.py:396-398, is preserved).
+        loss_hist = []
         for i, (train_batch, _) in enumerate(batch_iter):
             train_batch = {k: train_batch[k]
                            for k in ('image', 'heatmaps', 'weights')}
             st, metrics = step_fn(st, shard_batch(train_batch, mesh))
-            losses.update(float(metrics['loss']))
-            if i % 10 == 9:
+            loss_hist.append(metrics['loss'])
+            if i % args.log_every == args.log_every - 1:
+                losses.update(float(metrics['loss']))
                 print(f'{class_name} [{epoch + 1}, {i + 1}] '
                       f'loss : {losses.avg:.6f}')
 
+        epoch_loss = float(jnp.mean(jnp.stack(loss_hist))) if loss_hist \
+            else float('nan')
+        losses.avg = epoch_loss        # downstream consumers use the mean
         lr = float(sched(st.step))
         logger.append([epoch + 1, lr, losses.avg])
         tcp.send(f'{epoch + 1}\t{lr}\t{round(losses.avg, 10)}\t',
@@ -356,6 +367,9 @@ def main(argv=None):
                     help='skip the per-eval overlay PNG panels')
     ap.add_argument('--tiny', action='store_true',
                     help='tiny model/config for smoke tests')
+    ap.add_argument('--log-every', type=int, default=10,
+                    help='steps between loss prints; each print costs one '
+                         'host sync (raise over a high-latency TPU tunnel)')
     ap.add_argument('--max-retries', type=int, default=0,
                     help='restart-and-resume on failure (the reference wraps '
                          'train() in try/except, main.py:440-443; here a '
