@@ -119,3 +119,84 @@ class TestResNet8s:
             out = model.apply(variables, jnp.zeros((2, 64, 64, 3)),
                               train=False)
             assert out.shape == (2, 8, 8, 1), tap
+
+
+class TestMergedFuse:
+    """The eval-time fuse-layer conv merge (models/hrnet.py:MERGED_FUSE)
+    must be numerically identical to the composite path: per-path BN
+    affines are folded into the conv kernels and kernels sharing a source
+    branch concatenate along the output-channel axis — exact math, same
+    parameter tree."""
+
+    def _randomized(self, variables, key):
+        """Randomize params AND BN running stats so the fold is
+        non-trivial (fresh-init stats are mean 0 / var 1)."""
+        leaves, tree = jax.tree.flatten(variables)
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        for leaf, k in zip(leaves, keys):
+            r = jax.random.normal(k, leaf.shape, leaf.dtype) * 0.3
+            if leaf.ndim == 1:  # scale/var must stay positive-ish
+                r = jnp.abs(r) + 0.5
+            out.append(r.astype(leaf.dtype))
+        return jax.tree.unflatten(tree, out)
+
+    def test_fuse_layer_merged_matches_composite(self):
+        from esa_pose_estimation_tpu.models import hrnet as hr
+        layer = hr.FuseLayer(4, (8, 16, 32, 64))
+        xs = [jax.random.normal(jax.random.PRNGKey(10 + i),
+                                (2, 32 // 2**i, 32 // 2**i, (8, 16, 32, 64)[i]))
+              for i in range(4)]
+        variables = layer.init(jax.random.PRNGKey(0), xs, train=False)
+        variables = self._randomized(variables, jax.random.PRNGKey(1))
+        old = hr.MERGED_FUSE
+        try:
+            hr.MERGED_FUSE = False
+            ref = layer.apply(variables, xs, train=False)
+            hr.MERGED_FUSE = True
+            got = layer.apply(variables, xs, train=False)
+        finally:
+            hr.MERGED_FUSE = old
+        for i, (a, b) in enumerate(zip(ref, got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5, err_msg=str(i))
+
+    def test_full_net_merged_matches_composite(self, tiny_net=None):
+        from esa_pose_estimation_tpu.models import hrnet as hr
+        cfg = cfg_mod.hrnet_tiny()
+        model = HRNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 1))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        variables = self._randomized(variables, jax.random.PRNGKey(3))
+        old = hr.MERGED_FUSE
+        try:
+            hr.MERGED_FUSE = False
+            ref = model.apply(variables, x, train=False)
+            hr.MERGED_FUSE = True
+            got = model.apply(variables, x, train=False)
+        finally:
+            hr.MERGED_FUSE = old
+        ref, got = np.asarray(ref), np.asarray(got)
+        # Randomized BN stats make activations explode to ~1e5 through the
+        # deep net; compare at the output's own scale (the merge only
+        # reorders f32 summation/fusion, so error is relative to magnitude).
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(got / scale, ref / scale,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_train_path_never_merges(self):
+        """The merged fold is only exact for frozen BN statistics; the
+        training path must keep the composite even when forced."""
+        from esa_pose_estimation_tpu.models import hrnet as hr
+        cfg = cfg_mod.hrnet_tiny()
+        model = HRNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64, 1))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        old = hr.MERGED_FUSE
+        try:
+            hr.MERGED_FUSE = True
+            out, _ = model.apply(variables, x, train=True,
+                                 mutable=['batch_stats'])
+        finally:
+            hr.MERGED_FUSE = old
+        assert out.shape == (2, 64, 64, cfg.num_keypoints)
