@@ -108,17 +108,6 @@ def evaluate(model, variables, eval_batches, points_3d, key,
     return result
 
 
-def make_synthetic_epoch(key, n_batches, batch_size, points_3d, crop_size):
-    """Generator of synthetic device batches (one spacecraft per frame)."""
-    for i in range(n_batches):
-        k = jax.random.fold_in(key, i)
-        batch = synthetic.make_batch(k, batch_size, points_3d,
-                                     crop_size=crop_size)
-        yield ({'image': batch['image'], 'heatmaps': batch['heatmaps'],
-                'weights': batch['weights']},
-               batch)
-
-
 def train(args) -> dict:
     # Reference schedule boundaries (80/100/170, main.py:298-299) assume a
     # ~100-epoch run; for shorter runs scale them so the 10x decays still
@@ -195,6 +184,20 @@ def train(args) -> dict:
     tcp.create_socket(classname=class_name)
 
     step_fn = state_mod.make_sharded_train_step(mesh, cfg.loss_weight_w)
+    if not use_real:
+        # fused synthetic path: one compiled scan per distinct chunk
+        # length (log_every + the epoch-tail remainder)
+        scan_cache: dict[int, object] = {}
+
+        def _scan_for(n):
+            if n not in scan_cache:
+                scan_cache[n] = state_mod.make_sharded_scan_step(
+                    mesh,
+                    lambda k: synthetic.make_batch(
+                        k, cfg.batch_size, points_3d,
+                        crop_size=cfg.crop_size),
+                    n, cfg.loss_weight_w)
+            return scan_cache[n]
     st = replicate(st, mesh)
     sched = state_mod.lr_schedule(cfg, steps_per_epoch)
 
@@ -227,9 +230,7 @@ def train(args) -> dict:
                     train=True, norm_mean=norm_mean), b)
                 for j, b in enumerate(loader))
         else:
-            batch_iter = make_synthetic_epoch(
-                ekey, steps_per_epoch, cfg.batch_size, points_3d,
-                cfg.crop_size)
+            batch_iter = None            # fused scan path below
 
         # Per-step losses stay ON DEVICE; the host fetches one value per
         # print interval and the exact epoch mean once at epoch end.  A
@@ -238,18 +239,36 @@ def train(args) -> dict:
         # turning a 40 s epoch into 5+ minutes (the reference's per-10
         # print cadence, main.py:396-398, is preserved).
         loss_hist = []
-        for i, (train_batch, _) in enumerate(batch_iter):
-            train_batch = {k: train_batch[k]
-                           for k in ('image', 'heatmaps', 'weights')}
-            st, metrics = step_fn(st, shard_batch(train_batch, mesh))
-            loss_hist.append(metrics['loss'])
-            if i % args.log_every == args.log_every - 1:
-                losses.update(float(metrics['loss']))
-                print(f'{class_name} [{epoch + 1}, {i + 1}] '
-                      f'loss : {losses.avg:.6f}')
+        if batch_iter is not None:
+            for i, (train_batch, _) in enumerate(batch_iter):
+                train_batch = {k: train_batch[k]
+                               for k in ('image', 'heatmaps', 'weights')}
+                st, metrics = step_fn(st, shard_batch(train_batch, mesh))
+                loss_hist.append(metrics['loss'][None])
+                if i % args.log_every == args.log_every - 1:
+                    losses.update(float(metrics['loss']))
+                    print(f'{class_name} [{epoch + 1}, {i + 1}] '
+                          f'loss : {losses.avg:.6f}')
+        else:
+            # Synthetic data is generated ON DEVICE, so a whole log
+            # interval (data gen + step, x log_every) fuses into ONE
+            # lax.scan dispatch — per-step dispatch round-trips through
+            # the remote-TPU tunnel were 97% of wall time (see
+            # make_sharded_scan_step).  Key stream fold_in(ekey, base+j)
+            # is identical to the per-step loop's fold_in(ekey, i).
+            base = 0
+            while base < steps_per_epoch:
+                n = min(args.log_every, steps_per_epoch - base)
+                st, chunk_losses = _scan_for(n)(st, ekey, jnp.int32(base))
+                loss_hist.append(chunk_losses)
+                base += n
+                if base % args.log_every == 0:
+                    losses.update(float(chunk_losses[-1]))
+                    print(f'{class_name} [{epoch + 1}, {base}] '
+                          f'loss : {losses.avg:.6f}')
 
-        epoch_loss = float(jnp.mean(jnp.stack(loss_hist))) if loss_hist \
-            else float('nan')
+        epoch_loss = (float(jnp.mean(jnp.concatenate(loss_hist)))
+                      if loss_hist else float('nan'))
         losses.avg = epoch_loss        # downstream consumers use the mean
         lr = float(sched(st.step))
         logger.append([epoch + 1, lr, losses.avg])

@@ -127,6 +127,9 @@ def make_sample(key: jax.Array, points_3d: jnp.ndarray,
     return Sample(image=image, bbox=bbox, keypoints_2d=uv, quat=q, trans=t)
 
 
+@partial(jax.jit, static_argnames=('batch_size', 'crop_size', 'sigma',
+                                   'render', 'with_frames', 'height',
+                                   'width'))
 def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
                crop_size: int = 128, sigma: float = 2.0,
                render: bool = True,

@@ -128,6 +128,48 @@ def make_sharded_train_step(mesh, loss_w: float = 10.0,
     )
 
 
+def make_sharded_scan_step(mesh, batch_fn: Callable, n_inner: int,
+                           loss_w: float = 10.0,
+                           state: TrainState | None = None) -> Callable:
+    """jit a fused ``n_inner``-step train segment: on-device data
+    generation + optimizer step under one ``lax.scan`` dispatch.
+
+    Through a remote-TPU tunnel every dispatch pays a host round-trip;
+    the per-step loop (one eager ``make_batch`` + one jitted step per
+    iteration) was measured at ~1.9 s/step against a 57 ms/step device
+    cost — ~97% dispatch overhead.  Scanning ``n_inner`` steps inside one
+    jit removes it: one dispatch per log interval, and the host fetches
+    only the (n_inner,) per-step loss vector.
+
+    ``batch_fn(key) -> {'image', 'heatmaps', 'weights', ...}`` must be
+    traceable (e.g. ``synthetic.make_batch``); the data stream is
+    identical to the per-step loop because step ``base + j`` derives its
+    key as ``fold_in(epoch_key, base + j)`` in both.
+
+    Returns ``fn(state, epoch_key, base) -> (state, losses[n_inner])``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from esa_pose_estimation_tpu.parallel import param_sharding
+
+    rep = NamedSharding(mesh, P())
+    dat = NamedSharding(mesh, P('data'))
+    st_sh = param_sharding(state, mesh) if state is not None else rep
+
+    def run(state: TrainState, epoch_key: jax.Array, base: jnp.ndarray):
+        def body(st, j):
+            batch = batch_fn(jax.random.fold_in(epoch_key, base + j))
+            batch = {k: jax.lax.with_sharding_constraint(batch[k], dat)
+                     for k in ('image', 'heatmaps', 'weights')}
+            st, metrics = train_step(st, batch, loss_w=loss_w)
+            return st, metrics['loss']
+
+        return jax.lax.scan(body, state, jnp.arange(n_inner))
+
+    return jax.jit(run, in_shardings=(st_sh, rep, rep),
+                   out_shardings=(st_sh, rep), donate_argnums=(0,))
+
+
 def make_sharded_eval_step(mesh, loss_w: float = 10.0) -> Callable:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
