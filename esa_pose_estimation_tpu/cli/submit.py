@@ -31,7 +31,7 @@ from esa_pose_estimation_tpu.utils import config as cfg_mod
 
 def run_partition(model, variables, records, points_3d, writer, real, key,
                   batch_size=32, crop_size=128, norm_mean=0.485,
-                  crop_rule='val'):
+                  crop_rule='val', flip_tta=False):
     loader = speed_data.BatchLoader(records,
                                     min(batch_size, len(records)),
                                     shuffle=False, drop_last=False)
@@ -42,7 +42,8 @@ def run_partition(model, variables, records, points_3d, writer, real, key,
                           points_3d, jax.random.fold_in(key, i),
                           crop_size=crop_size,
                           conf_threshold=0.8, min_keypoints=24,
-                          norm_mean=norm_mean, crop_rule=crop_rule)
+                          norm_mean=norm_mean, crop_rule=crop_rule,
+                          flip_tta=flip_tta)
         writer.append_batch(batch['name'], np.asarray(out.quat),
                             np.asarray(out.trans), real=real)
 
@@ -65,6 +66,12 @@ def main(argv=None):
                     help='box rule: "val" = ESAValDataSet submission crop '
                          '(no square-equalization, data_load_val.py:125-157'
                          ', the default); "train" = data_load4 rule')
+    ap.add_argument('--flip-tta', action='store_true',
+                    help='average heatmaps with a mirrored-input forward '
+                         'pass (transforms.py:16-30 flip_back semantics); '
+                         'measured mean 0.0067 -> 0.0046 on the held-out '
+                         'synthetic frames (QUALITY.md section 2) at 2x '
+                         'keypoint-network cost')
     ap.add_argument('--suffix', default=None)
     ap.add_argument('--tiny', action='store_true')
     args = ap.parse_args(argv)
@@ -88,14 +95,15 @@ def main(argv=None):
     run_partition(model, variables, test_records, points_3d, writer,
                   real=False, key=key, batch_size=args.batch_size,
                   crop_size=args.crop_size, norm_mean=args.norm_mean,
-                  crop_rule=args.crop_rule)
+                  crop_rule=args.crop_rule, flip_tta=args.flip_tta)
     if args.real_test_pkl:
         real_records = speed_data.records_from_pickle(args.real_test_pkl,
                                                       args.image_root)
         run_partition(model, variables, real_records, points_3d, writer,
                       real=True, key=jax.random.fold_in(key, 1),
                       batch_size=args.batch_size, crop_size=args.crop_size,
-                      norm_mean=args.norm_mean, crop_rule=args.crop_rule)
+                      norm_mean=args.norm_mean, crop_rule=args.crop_rule,
+                      flip_tta=args.flip_tta)
     path = writer.export(out_dir=args.workdir, suffix=args.suffix)
     print(f'Submission saved to {path}.')
     return path

@@ -126,6 +126,17 @@ class TestSubmitCli:
         assert len(rows) == 4
         assert all(len(r.split(',')) == 8 for r in rows)
 
+        # --flip-tta must run the same pipeline (mirror-averaged
+        # heatmaps) and still export one well-formed row per record
+        path2 = submit_cli.main([
+            '--workdir', workdir, '--tiny', '--test-pkl', str(pkl),
+            '--image-root', str(img_dir), '--batch-size', '4',
+            '--crop-size', '32', '--suffix', 'smoke_tta',
+            '--checkpoint', 'last', '--flip-tta'])
+        rows2 = open(path2).read().strip().split('\n')
+        assert len(rows2) == 4
+        assert all(len(r.split(',')) == 8 for r in rows2)
+
 
 @pytest.mark.slow
 class TestEvalSyntheticCli:
