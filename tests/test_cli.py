@@ -157,3 +157,55 @@ class TestEvalSyntheticCli:
         assert np.isfinite(out['median'])
         assert 0.0 <= out['beat_reference_frac'] <= 1.0
         assert np.isfinite(out['pix_err_px']) and out['pix_err_px'] >= 0.0
+
+
+class TestInspectDbCli:
+    """`cli/inspect_db.py` — the DB-inspection capability the reference's
+    scratch scripts (data_prepare.py) served, as real tooling."""
+
+    def test_esa_pickle_summary(self, tmp_path, capsys):
+        from esa_pose_estimation_tpu.cli import inspect_db
+        from esa_pose_estimation_tpu.data import speed
+
+        rng = np.random.default_rng(0)
+        records = []
+        for i in range(5):
+            records.append({
+                'rgb_pth': f'img{i:06d}.jpg',
+                'bbox': np.asarray([10, 20, 110, 140], np.float32),
+                'sift': rng.uniform(0, 128, (30, 2)).astype(np.float32),
+                'sift3d': rng.normal(size=(30, 3)).astype(np.float32),
+                'K': np.eye(3, dtype=np.float32),
+                'RT': np.concatenate(
+                    [np.eye(3), [[0.0], [0.0], [5.0 + i]]],
+                    axis=1).astype(np.float32),
+                'qua': np.asarray([1, 0, 0, 0], np.float32),
+            })
+        pkl = str(tmp_path / 'train.pkl')
+        speed.save_pickle_records(pkl, records)
+
+        (stats,) = inspect_db.main([pkl, '--check-images',
+                                    '--image-root', str(tmp_path),
+                                    '--sample', '2'])
+        out = capsys.readouterr().out
+        assert stats['records'] == 5
+        assert stats['schema']['rgb_pth'] == 5
+        assert stats['bbox_median_wh'] == [100.0, 120.0]
+        assert stats['depth_range'] == [5.0, 9.0]
+        assert stats['keypoints'] == 30
+        assert stats['missing_images'] == 5      # no files written
+        assert 'schema' in out and 'img000000.jpg' in out
+
+    def test_dict_of_splits_payload(self, tmp_path):
+        import pickle
+
+        from esa_pose_estimation_tpu.cli import inspect_db
+        payload = {'real': [{'rgb_pth': 'a.jpg'}],
+                   'fuse': [{'rgb_pth': 'fuse/0.jpg'},
+                            {'rgb_pth': 'fuse/1.jpg'}]}
+        pkl = str(tmp_path / 'cat_mixed.pkl')
+        with open(pkl, 'wb') as f:
+            pickle.dump(payload, f)
+        (stats,) = inspect_db.main([pkl])
+        assert stats['records'] == 3
+        assert stats['schema']['rgb_pth'] == 3
