@@ -180,6 +180,12 @@ def train(args) -> dict:
                        resume=True)
     logger.set_names(['Epoch', 'LR', 'Train Loss'])
     events = JsonlLogger(os.path.join(workdir, 'events.jsonl'))
+    tb = None
+    if args.tb:
+        # Recorder-format parity (lib/utils/net_utils.py:174-239): scalar
+        # tfevents a TensorBoard dashboard can read, alongside TSV/JSONL.
+        from esa_pose_estimation_tpu.obs.tbevents import TbWriter
+        tb = TbWriter(os.path.join(workdir, 'tb'))
     tcp = TcpPusher(host=args.tcp_host)
     tcp.create_socket(classname=class_name)
 
@@ -276,6 +282,9 @@ def train(args) -> dict:
                  type='log', classname=class_name)
         events.log('epoch', epoch=epoch + 1, lr=lr, loss=losses.avg,
                    seconds=time.time() - t0)
+        if tb:
+            tb.scalars(epoch + 1, {'train/loss': losses.avg,
+                                   'train/lr': lr})
         # 'last' is saved BEFORE the eval (a crash mid-eval must not lose
         # the epoch's training work — with a deterministic eval failure
         # the run would otherwise loop on re-training the same epoch
@@ -338,6 +347,11 @@ def train(args) -> dict:
                                      score_rotate=result['score_r'],
                                      best=best, save_last=False)
             events.log('eval', epoch=epoch + 1, **result)
+            if tb:
+                tb.scalars(epoch + 1,
+                           {'eval/score_t': result['score_t'],
+                            'eval/score_r': result['score_r'],
+                            'eval/speed': result['speed']})
             tcp.send('\t'.join(str(v) for v in
                                [class_name, epoch, result['score_t'],
                                 result['score_r']]),
@@ -349,6 +363,8 @@ def train(args) -> dict:
         shard_loader.close()
     logger.close()
     events.close()
+    if tb:
+        tb.close()
     tcp.close()
     print('Finished Training')
     return result
@@ -377,6 +393,10 @@ def main(argv=None):
     ap.add_argument('--crop-size', type=int, default=128)
     ap.add_argument('--synthetic-size', type=int, default=2048)
     ap.add_argument('--tcp-host', default=None)
+    ap.add_argument('--tb', action='store_true',
+                    help='also write TensorBoard scalar event files to '
+                         '<workdir>/tb/ (Recorder-format parity, '
+                         'net_utils.py:174-239; no TF dependency)')
     ap.add_argument('--lr-boundaries', default=None,
                     help='comma-separated epoch boundaries for the 10x '
                          'LR drops (default: reference 80,100,170 scaled '

@@ -60,36 +60,11 @@ class BranchBlocks(nn.Module):
         return x
 
 
-# Eval-time fuse-layer conv merging (see FuseLayer docstring).  Module
-# level so tests/benches can force either path.  Default OFF: the merged
-# program is exact but measured 3.2% SLOWER than the composite on a real
-# chip (115.5 vs 111.9 ms per batch-256 hrnet_esa forward) — XLA already
-# fuses the composite's per-path ConvBNs, and the merged path's kernel
-# concat + output slicing adds HBM traffic the saved dispatches don't
-# repay.  Kept in-tree with parity tests as a documented negative result
-# (QUALITY.md §3), same standard as the rejected Pallas kernels.
+# Eval-time fuse-layer conv merging (experimental/merged_fuse.py).
+# Module-level so tests/benches can force either path.  Default OFF: the
+# merged program is exact but measured 3.2% SLOWER than the composite on
+# a real chip — a quarantined negative result (QUALITY.md §3).
 MERGED_FUSE: bool = False
-
-
-def _fuse_path_specs(num_branches: int) -> dict[tuple[int, int], list[int]]:
-    """Replay FuseLayer's composite construction order.
-
-    Returns (target i, source j) -> list of ``ConvBN_<k>`` child indices
-    along that path (1 entry for j>i up-paths, i-j entries for the
-    downsample chain).  Flax auto-names children by call order, so the
-    merged path can address the exact parameters the composite created —
-    checkpoints trained on either path stay interchangeable.
-    """
-    specs: dict[tuple[int, int], list[int]] = {}
-    idx = 0
-    for i in range(num_branches):
-        for j in range(num_branches):
-            if j == i:
-                continue
-            n = 1 if j > i else i - j
-            specs[(i, j)] = list(range(idx, idx + n))
-            idx += n
-    return specs
 
 
 class FuseLayer(nn.Module):
@@ -101,20 +76,12 @@ class FuseLayer(nn.Module):
       j < i: (i-j) strided 3x3 convs (ReLU between, none on the last).
     Outputs relu(sum_j path_ij(x_j)) per branch.
 
-    Optional merged eval path (``MERGED_FUSE``, default off): the
-    composite issues up to n*(n-1) narrow convs (32-224 output channels —
-    0.19-0.5 MXU lane efficiency) plus a BN affine each.  The merged path
-    runs every path that reads the SAME source branch as ONE wide conv:
-    the per-path BN is folded into the conv kernel (exact at eval, where
-    BN is a per-channel affine of frozen statistics) and the folded
-    kernels are concatenated along the output-channel axis — all 1x1
-    up-projections of branch j become a single 1x1 conv, and the first
-    3x3/s2 conv of every downsample chain from branch j becomes a single
-    3x3/s2 conv (e.g. stage 4's three 32->{64,32,32} chain heads fuse
-    into one 32->128, a full MXU lane).  Identical math, same parameter
-    tree — but MEASURED SLOWER on chip (see MERGED_FUSE note), so it is
-    opt-in.  Training always keeps the composite (BN must see per-path
-    batch statistics).
+    Optional merged eval path (``MERGED_FUSE``, default off; the
+    quarantined experiment in experimental/merged_fuse.py): per-path BNs
+    folded into conv kernels and same-source paths concatenated into
+    full-lane convs — identical math, same parameter tree, measured
+    slower on chip.  Training always keeps the composite (BN must see
+    per-path batch statistics).
     """
     num_branches: int
     channels: tuple[int, ...]
@@ -124,7 +91,10 @@ class FuseLayer(nn.Module):
     @nn.compact
     def __call__(self, xs, train: bool = False):
         if MERGED_FUSE and not train and not self.is_initializing():
-            return self._merged(xs)
+            from esa_pose_estimation_tpu.experimental.merged_fuse import (
+                merged_fuse,
+            )
+            return merged_fuse(self, xs, resize_bilinear)
         outs = []
         for i in range(self.num_branches):
             y = None
@@ -145,70 +115,6 @@ class FuseLayer(nn.Module):
                         path = ConvBN(ch, 3, 2, relu=not last,
                                       dtype=self.dtype,
                                       axis_name=self.axis_name)(path, train)
-                y = path if y is None else y + path
-            outs.append(nn.relu(y).astype(self.dtype))
-        return outs
-
-    # -- merged eval path -------------------------------------------------
-
-    def _folded(self, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """ConvBN_<k>'s kernel with its eval-time BN affine folded in."""
-        p = self.get_variable('params', f'ConvBN_{k}')
-        s = self.get_variable('batch_stats', f'ConvBN_{k}')
-        kernel = p['Conv_0']['kernel']
-        bn, st = p['BatchNorm_0'], s['BatchNorm_0']
-        eff = bn['scale'] / jnp.sqrt(st['var'] + 1e-5)
-        return kernel * eff, bn['bias'] - st['mean'] * eff
-
-    def _conv(self, x, kernel, bias, stride: int):
-        import jax.lax as lax
-        pad = (kernel.shape[0] // 2,) * 2
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            (stride, stride), [pad, pad],
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        return y + bias.astype(self.dtype)
-
-    def _merged(self, xs):
-        n = self.num_branches
-        specs = _fuse_path_specs(n)
-        # contributions[i][j] = path_ij(xs[j]) at branch-i resolution
-        contributions: list[dict[int, jnp.ndarray]] = [{} for _ in range(n)]
-        for j in range(n):
-            ups = [i for i in range(n) if i < j]
-            if ups:  # all 1x1 up-projections of xs[j] as one conv
-                ks, bs = zip(*(self._folded(specs[(i, j)][0]) for i in ups))
-                y = self._conv(xs[j], jnp.concatenate(ks, -1),
-                               jnp.concatenate(bs), 1)
-                off = 0
-                for i in ups:
-                    sl = y[..., off:off + self.channels[i]]
-                    off += self.channels[i]
-                    contributions[i][j] = resize_bilinear(
-                        sl, xs[i].shape[1:3], align_corners=False)
-            downs = [i for i in range(n) if i > j]
-            if downs:  # every chain's first 3x3/s2 conv as one conv
-                head_ch = [self.channels[i] if i == j + 1 else self.channels[j]
-                           for i in downs]
-                ks, bs = zip(*(self._folded(specs[(i, j)][0]) for i in downs))
-                y = self._conv(xs[j], jnp.concatenate(ks, -1),
-                               jnp.concatenate(bs), 2)
-                off = 0
-                for i, ch in zip(downs, head_ch):
-                    path = y[..., off:off + ch]
-                    off += ch
-                    if i - j > 1:      # ReLU between chain convs, then the
-                        path = nn.relu(path)   # rest of the chain one by one
-                        for lvl, idx in enumerate(specs[(i, j)][1:], start=1):
-                            path = self._conv(path, *self._folded(idx), 2)
-                            if lvl < i - j - 1:
-                                path = nn.relu(path)
-                    contributions[i][j] = path
-        outs = []
-        for i in range(n):  # composite's j-order summation, xs[i] at j == i
-            y = None
-            for j in range(n):
-                path = xs[i] if j == i else contributions[i][j]
                 y = path if y is None else y + path
             outs.append(nn.relu(y).astype(self.dtype))
         return outs

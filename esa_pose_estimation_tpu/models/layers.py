@@ -137,7 +137,7 @@ class SpatialAttention(nn.Module):
 
 
 # Serving-time dispatch of CBAM to the fused Pallas kernel
-# (ops/pallas/cbam_fuse.py).  Module-level so tests can force either path.
+# (experimental/cbam_fuse.py).  Module-level so tests can force either path.
 #
 # Default False: measured on v5e at batch 256 (2026-08-17), the kernel
 # beats the standalone XLA composite only when the channel dim fills the
@@ -182,7 +182,7 @@ class CBAM(nn.Module):
         # kernel has no VJP, so value_and_grad through it would crash
         # far from wherever FUSED_CBAM was toggled
         if use_fused and not train and not self.is_initializing():
-            from esa_pose_estimation_tpu.ops.pallas.cbam_fuse import (
+            from esa_pose_estimation_tpu.experimental.cbam_fuse import (
                 fused_cbam_pallas,
             )
             ca = self.get_variable('params', 'ChannelAttention_0')

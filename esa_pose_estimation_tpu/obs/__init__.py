@@ -3,3 +3,4 @@ from esa_pose_estimation_tpu.obs.logger import (  # noqa: F401
     TcpPusher,
     TsvLogger,
 )
+from esa_pose_estimation_tpu.obs.tbevents import TbWriter  # noqa: F401

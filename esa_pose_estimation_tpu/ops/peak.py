@@ -125,54 +125,10 @@ def decode_heatmaps_auto(heatmaps: jnp.ndarray
     return decode_heatmaps(heatmaps)
 
 
-def argmax_peaks_nhwc(heatmaps: jnp.ndarray
-                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Channels-last argmax peaks: (..., H, W, K) -> ((..., K, 2), (..., K)).
-
-    Same row-major flat-argmax semantics as :func:`argmax_peaks`, but the
-    reduction runs over the sublane (H*W) axis with K in the vector lanes —
-    no layout transpose of the model's NHWC output needed.  Upcasts to
-    float32 first (like the Pallas kernel) so a bf16 serving tail gets
-    identical maxvals/coords from either dispatch arm.
-    """
-    heatmaps = heatmaps.astype(jnp.float32)
-    h, w, k = heatmaps.shape[-3:]
-    flat = heatmaps.reshape(heatmaps.shape[:-3] + (h * w, k))
-    idx = jnp.argmax(flat, axis=-2)
-    maxvals = jnp.max(flat, axis=-2)
-    x = (idx % w).astype(jnp.float32)
-    y = (idx // w).astype(jnp.float32)
-    return jnp.stack([x, y], axis=-1), maxvals
-
-
-def taylor_refine_nhwc(heatmaps: jnp.ndarray, coords: jnp.ndarray,
-                       eps: float = 1e-10) -> jnp.ndarray:
-    """Log-Taylor refinement on channels-last maps (semantics of
-    :func:`taylor_refine`, layout of the model output).
-
-    heatmaps: (..., H, W, K); coords: (..., K, 2) float (x, y).  Runs in
-    float32 regardless of input dtype (parity with the Pallas kernel).
-    """
-    heatmaps = heatmaps.astype(jnp.float32)
-    h, w, k = heatmaps.shape[-3:]
-    log_hm = jnp.log(jnp.maximum(heatmaps, eps))
-    flat = log_hm.reshape(log_hm.shape[:-3] + (h * w, k))
-    px = coords[..., 0].astype(jnp.int32)
-    py = coords[..., 1].astype(jnp.int32)
-
-    def g(dy, dx):
-        yy = jnp.clip(py + dy, 0, h - 1)
-        xx = jnp.clip(px + dx, 0, w - 1)
-        return jnp.take_along_axis(flat, (yy * w + xx)[..., None, :],
-                                   axis=-2)[..., 0, :]
-
-    return coords + _taylor_offset(g, px, py, h, w)
-
-
 # Decode dispatch for channels-last model output: True = the gather-based
-# NHWC path below, False = transpose + NCHW Pallas kernel on TPU.  Default
-# False until the NHWC path is benchmarked against the ~2.3 ms/step of
-# layout copies it avoids (bench.py --nhwc-decode).
+# NHWC path (experimental/nhwc_decode.py — measured 2631 vs 3024 img/s,
+# a quarantined negative result), False = transpose + NCHW Pallas kernel
+# on TPU (production default).
 #
 # TRACE-TIME flag: jitted callers bake the chosen path into their compiled
 # executable and jax does not key its cache on this global — flip it
@@ -181,23 +137,20 @@ def taylor_refine_nhwc(heatmaps: jnp.ndarray, coords: jnp.ndarray,
 NHWC_DECODE: bool = False
 
 
-def decode_heatmaps_nhwc(heatmaps: jnp.ndarray
-                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused argmax + log-Taylor decode on (..., H, W, K) maps."""
-    coords, maxvals = argmax_peaks_nhwc(heatmaps)
-    return taylor_refine_nhwc(heatmaps, coords), maxvals
-
-
 def decode_heatmaps_auto_nhwc(heatmaps: jnp.ndarray
                               ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Decode channels-last model output, choosing the layout strategy.
 
     The serving tail receives NHWC maps straight from the conv head; the
     two candidate programs are (a) transpose to NCHW + the Pallas/row
-    decode, (b) the native NHWC reduce+gather decode above.  ``NHWC_DECODE``
-    picks (module-level so tests and the bench can force either).
+    decode (default), (b) the native NHWC reduce+gather decode
+    (experimental/nhwc_decode.py).  ``NHWC_DECODE`` picks (module-level
+    so tests and the bench can force either).
     """
     if NHWC_DECODE:
+        from esa_pose_estimation_tpu.experimental.nhwc_decode import (
+            decode_heatmaps_nhwc,
+        )
         return decode_heatmaps_nhwc(heatmaps)
     nchw = jnp.moveaxis(heatmaps, -1, -3)
     return decode_heatmaps_auto(nchw)

@@ -1,4 +1,4 @@
-"""Fused CBAM kernel (ops/pallas/cbam_fuse.py) and its serving dispatch.
+"""Fused CBAM kernel (experimental/cbam_fuse.py) and its serving dispatch.
 
 Off-TPU the kernel runs in the Pallas interpreter, so these tests verify
 the exact math the TPU build executes (reference semantics:
@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from esa_pose_estimation_tpu.models import layers
-from esa_pose_estimation_tpu.ops.pallas.cbam_fuse import fused_cbam_pallas
+from esa_pose_estimation_tpu.experimental.cbam_fuse import fused_cbam_pallas
 
 
 def straightline(x, fc1, fc2, spw, res=None):

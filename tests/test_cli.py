@@ -16,7 +16,7 @@ class TestTrainCli:
         result = train_cli.main([
             '--workdir', workdir, '--tiny', '--epochs', '2',
             '--batch-size', '8', '--crop-size', '32',
-            '--synthetic-size', '32'])
+            '--synthetic-size', '32', '--tb'])
         # eval ran at epoch 2 (eval_every=5 -> epoch%5==4 false, but
         # eval_after=80 false; so force: epochs=2 means eval at epoch idx 1?
         # eval_every condition: epoch % 5 == 4 -> no eval in 2 epochs.
@@ -25,6 +25,16 @@ class TestTrainCli:
         assert os.path.exists(os.path.join(workdir, 'net_esa', 'last'))
         lines = open(os.path.join(workdir, 'log_esa.txt')).read().strip()
         assert len(lines.split('\n')) == 3  # header + 2 epochs
+        # --tb wrote a readable scalar event file with both epochs
+        import glob as _glob
+
+        from esa_pose_estimation_tpu.obs import tbevents
+        files = _glob.glob(os.path.join(workdir, 'tb',
+                                        'events.out.tfevents.*'))
+        assert len(files) == 1
+        rows = tbevents.read_scalars(files[0])
+        steps = {s for s, t, _ in rows if t == 'train/loss'}
+        assert steps == {1, 2}
 
     def test_train_from_native_shard(self, tmp_path):
         """--train-shard: the C++ loader feeds the train loop (VERDICT

@@ -6,6 +6,7 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+from esa_pose_estimation_tpu.experimental import nhwc_decode
 from esa_pose_estimation_tpu.ops import heatmap, peak
 
 
@@ -115,7 +116,7 @@ class TestNHWCDecode:
         hm = self._random_maps(1)
         nchw = np.moveaxis(hm, -1, 1)
         c_ref, m_ref = peak.decode_heatmaps(jnp.asarray(nchw))
-        c_new, m_new = peak.decode_heatmaps_nhwc(jnp.asarray(hm))
+        c_new, m_new = nhwc_decode.decode_heatmaps_nhwc(jnp.asarray(hm))
         np.testing.assert_array_equal(np.asarray(m_ref), np.asarray(m_new))
         np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_new))
 
@@ -137,7 +138,7 @@ class TestNHWCDecode:
 
     def test_flat_map_all_ties(self):
         hm = np.ones((1, 8, 8, 3), np.float32)
-        c_n, m_n = peak.decode_heatmaps_nhwc(jnp.asarray(hm))
+        c_n, m_n = nhwc_decode.decode_heatmaps_nhwc(jnp.asarray(hm))
         c_o, m_o = peak.decode_heatmaps(jnp.asarray(np.moveaxis(hm, -1, 1)))
         np.testing.assert_array_equal(np.asarray(c_n), np.asarray(c_o))
         np.testing.assert_array_equal(np.asarray(m_n), np.asarray(m_o))
@@ -148,7 +149,7 @@ class TestNHWCDecode:
         hm = self._random_maps(3).astype(jnp.bfloat16)
         f32 = np.asarray(hm, np.float32)
         c_ref, m_ref = peak.decode_heatmaps(jnp.asarray(np.moveaxis(f32, -1, 1)))
-        c_n, m_n = peak.decode_heatmaps_nhwc(hm)
+        c_n, m_n = nhwc_decode.decode_heatmaps_nhwc(hm)
         c_o, m_o = peak.decode_heatmaps(jnp.moveaxis(hm, -1, 1))
         assert m_n.dtype == jnp.float32 and m_o.dtype == jnp.float32
         np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_n))
