@@ -357,6 +357,110 @@ def bench_train() -> dict:
     return out
 
 
+def bench_train_system(shard_path: str | None, n_records: int = 1024,
+                       threads: int = 8, host_crop: bool = True) -> dict:
+    """Production-configuration training throughput: C++ shard loader ->
+    double-buffered H2D -> on-device target build -> sharded train step
+    (VERDICT r3 item 2: the real-data route of cli/train.py had no
+    measured number; the step-level 1130 img/s assumed batches already in
+    HBM).
+
+    Default is the ``--host-crop`` ingest mode (box->crop->resize on the
+    loader's C++ threads, 65 KB/img over the link — the production
+    configuration for link-bound hosts and the same stage split as the
+    reference's CPU DataLoader, data_load4.py:110-166).  ``--host-crop``
+    off ships full 2.3 MB frames and crops on device.  Reports img/s and
+    the %% of the staged-batch step rate the fed system sustains.
+    """
+    from esa_pose_estimation_tpu.data import pipeline as data_pipeline
+    from esa_pose_estimation_tpu.data import shards, synthetic
+    from esa_pose_estimation_tpu.data.native_loader import NativeBatchLoader
+    from esa_pose_estimation_tpu.models import HRNet
+    from esa_pose_estimation_tpu.parallel import (batch_sharding, make_mesh,
+                                                  replicate)
+    from esa_pose_estimation_tpu.train import state as state_mod
+    from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+    if shard_path is None:
+        shard_path = '/tmp/ept_bench_shard.spd1'
+    if not os.path.exists(shard_path):
+        print(f'# writing synthetic shard ({n_records} frames) to '
+              f'{shard_path} ...', flush=True)
+        shards.write_synthetic_shard(shard_path, n_records)
+
+    devices = jax.devices()
+    mesh = make_mesh(n_data=len(devices), n_model=1, devices=devices)
+    cfg = cfg_mod.TrainConfig(batch_size=BATCH, crop_size=128)
+    model = HRNet(cfg_mod.hrnet_esa(), dtype=jnp.bfloat16)
+    st = state_mod.create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                      (1, 128, 128, 1))
+    step = state_mod.make_sharded_train_step(mesh)
+    st = replicate(st, mesh)
+    sh = batch_sharding(mesh)
+
+    loader = NativeBatchLoader(shard_path, BATCH, n_threads=threads,
+                               shuffle=False,
+                               crop_size=128 if host_crop else None)
+    n_batches = len(loader)
+    keys = list(jax.random.split(jax.random.PRNGKey(0), 2 * n_batches + 2))
+
+    def build(b, key):
+        if host_crop:
+            tb = data_pipeline.build_batch_from_crops(
+                b['crop'], b['rate'], b['origin'], b['keypoints_2d'], key)
+        else:
+            tb = data_pipeline.build_batch(b['frame'], b['bbox'],
+                                           b['keypoints_2d'], key,
+                                           crop_size=128)
+        return {k: tb[k] for k in ('image', 'heatmaps', 'weights')}
+
+    # Warm epoch: compiles build+step and pulls the shard through the
+    # page cache (steady-state training re-reads the same shard every
+    # epoch, so warm is the production regime).
+    for i, b in enumerate(data_pipeline.prefetch_to_device(
+            iter(loader), sh, size=2)):
+        st, metrics = step(st, build(b, keys[-1]))
+    float(metrics['loss'])
+
+    # Staged-batch step rate (the 'chip ceiling' this system feeds):
+    batch = build({k: jnp.asarray(v) for k, v in b.items()
+                   if k != 'name'}, keys[-2])
+    batch = jax.device_put(batch, sh)
+    for _ in range(2):
+        st, metrics = step(st, batch)
+    float(metrics['loss'])
+    t0 = time.perf_counter()
+    for i in range(N_ITERS):
+        st, metrics = step(st, batch)
+    float(metrics['loss'])
+    staged_img_s = BATCH * N_ITERS / (time.perf_counter() - t0)
+
+    # Timed fed epochs: loader -> prefetched H2D -> target build -> step.
+    count = 0
+    t0 = time.perf_counter()
+    for ep in range(2):
+        for i, b in enumerate(data_pipeline.prefetch_to_device(
+                iter(loader), sh, size=2)):
+            st, metrics = step(st, build(b, keys[ep * n_batches + i]))
+            count += BATCH
+    float(metrics['loss'])                          # hard sync
+    elapsed = time.perf_counter() - t0
+    loader.close()
+
+    img_per_s = count / elapsed
+    stage = 'decode+crop' if host_crop else 'decode'
+    return {
+        'metric': f'train-system images/sec/chip (C++ {stage} + H2D + '
+                  f'target build + train step, batch {BATCH})',
+        'value': round(img_per_s, 2),
+        'unit': 'img/s',
+        'vs_baseline': round(img_per_s / BASELINE_IMG_PER_S, 2),
+        'staged_step_img_s': round(staged_img_s, 2),
+        'pct_of_staged_step': round(100 * img_per_s / staged_img_s, 1),
+        'n_devices': len(devices),
+    }
+
+
 def bench_voting() -> dict:
     """RANSAC voting at the reference PVNet operating point (128x128 crop,
     K=32 keypoints, 128 hypotheses — src/ransac_voting_kernel.cu workload;
@@ -397,7 +501,7 @@ def bench_voting() -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--mode', choices=['compute', 'system', 'two-stage',
-                                       'voting', 'train'],
+                                       'voting', 'train', 'train-system'],
                     default='compute')
     ap.add_argument('--shard', default=None,
                     help='SPD1 shard for --mode system (auto-written '
@@ -413,6 +517,9 @@ def main(argv=None):
     ap.add_argument('--host-crop', action='store_true',
                     help='system mode: crop+resize on the C++ loader '
                          'threads (65 KB/img H2D instead of 2.3 MB)')
+    ap.add_argument('--no-host-crop', action='store_true',
+                    help='train-system mode: ship full frames and crop '
+                         'on device (host-crop is that mode\'s default)')
     ap.add_argument('--nhwc-decode', choices=['auto', 'on', 'off'],
                     default='auto',
                     help='force the channels-last decode path (on) or the '
@@ -453,6 +560,9 @@ def main(argv=None):
         out = bench_voting()
     elif args.mode == 'train':
         out = bench_train()
+    elif args.mode == 'train-system':
+        out = bench_train_system(args.shard, args.shard_records,
+                                 host_crop=not args.no_host_crop)
     elif args.mode == 'two-stage':
         out = bench_two_stage(args.detector_ckpt, args.detector_downscale)
     else:

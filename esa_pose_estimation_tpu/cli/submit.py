@@ -54,6 +54,11 @@ def main(argv=None):
     ap.add_argument('--test-pkl', required=True)
     ap.add_argument('--real-test-pkl', default=None)
     ap.add_argument('--image-root', default='')
+    ap.add_argument('--real-image-root', default=None,
+                    help='image directory for the real_test partition '
+                         '(defaults to --image-root; the reference keeps '
+                         'the partitions under separate images/test and '
+                         'images/real_test directories, utils.py:30-38)')
     ap.add_argument('--checkpoint', default='best_rotate')
     ap.add_argument('--batch-size', type=int, default=32)
     ap.add_argument('--crop-size', type=int, default=128)
@@ -97,8 +102,10 @@ def main(argv=None):
                   crop_size=args.crop_size, norm_mean=args.norm_mean,
                   crop_rule=args.crop_rule, flip_tta=args.flip_tta)
     if args.real_test_pkl:
-        real_records = speed_data.records_from_pickle(args.real_test_pkl,
-                                                      args.image_root)
+        real_records = speed_data.records_from_pickle(
+            args.real_test_pkl,
+            args.image_root if args.real_image_root is None
+            else args.real_image_root)
         run_partition(model, variables, real_records, points_3d, writer,
                       real=True, key=jax.random.fold_in(key, 1),
                       batch_size=args.batch_size, crop_size=args.crop_size,

@@ -51,6 +51,9 @@ def _load_lib() -> ctypes.CDLL:
                                 ctypes.c_int, ctypes.c_uint64, ctypes.c_int]
     lib.loader_open2.restype = ctypes.c_void_p
     lib.loader_open2.argtypes = lib.loader_open.argtypes + [ctypes.c_int]
+    lib.loader_open3.restype = ctypes.c_void_p
+    lib.loader_open3.argtypes = lib.loader_open2.argtypes + \
+        [ctypes.c_uint64, ctypes.c_uint64]
     lib.loader_meta.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_uint32)]
     lib.loader_next.restype = ctypes.c_int
@@ -93,14 +96,24 @@ class NativeBatchLoader:
 
     def __init__(self, shard_path: str, batch_size: int,
                  n_threads: int = 4, shuffle: bool = True, seed: int = 0,
-                 drop_last: bool = True, crop_size: int | None = None):
+                 drop_last: bool = True, crop_size: int | None = None,
+                 process_id: int = 0, process_count: int = 1):
         self.meta = read_meta(shard_path)
         self.path = shard_path
         self.batch_size = batch_size
         self.crop_size = int(crop_size) if crop_size else 0
-        self._handle = _lib().loader_open2(
+        # Multi-host ingest: process i of P serves the i-th contiguous
+        # record slice of the shared shard (balanced to within one
+        # record), streamed by the C++ runtime without coordination.
+        if not 0 <= process_id < process_count:
+            raise ValueError(f'process_id {process_id} outside '
+                             f'process_count {process_count}')
+        n = self.meta.n_records
+        start = n * process_id // process_count
+        self.n_local = n * (process_id + 1) // process_count - start
+        self._handle = _lib().loader_open3(
             shard_path.encode(), batch_size, n_threads, int(shuffle),
-            seed, int(drop_last), self.crop_size)
+            seed, int(drop_last), self.crop_size, start, self.n_local)
         if not self._handle:
             raise OSError(f'failed to open shard {shard_path}')
         self._epoch = 0
@@ -109,8 +122,8 @@ class NativeBatchLoader:
         self.drop_last = drop_last
 
     def __len__(self) -> int:
-        n = self.meta.n_records // self.batch_size
-        if not self.drop_last and self.meta.n_records % self.batch_size:
+        n = self.n_local // self.batch_size
+        if not self.drop_last and self.n_local % self.batch_size:
             n += 1
         return n
 

@@ -9,10 +9,13 @@ of per-sample CPU work in DataLoader forks.
 
 from __future__ import annotations
 
+import collections
 from functools import partial
+from typing import Any, Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from esa_pose_estimation_tpu.data.augment import color_jitter
 from esa_pose_estimation_tpu.ops import crop as crop_ops
@@ -49,3 +52,83 @@ def build_batch(frames: jnp.ndarray, bboxes: jnp.ndarray,
         'origin': origins,
         'keypoints_crop': kp_crop,
     }
+
+
+@partial(jax.jit, static_argnames=('train',))
+def build_batch_from_crops(crops: jnp.ndarray, rates: jnp.ndarray,
+                           origins: jnp.ndarray, keypoints_2d: jnp.ndarray,
+                           key: jax.Array, sigma: float = 2.0,
+                           train: bool = True, norm_mean: float = 0.449,
+                           norm_std: float = 0.229
+                           ) -> dict[str, jnp.ndarray]:
+    """Target build for HOST-cropped batches (the native loader's
+    crop_size mode: its C++ workers already ran the detector-box ->
+    square crop -> resize stage, shard_loader.cpp:153-254, the same stage
+    the reference runs in its CPU DataLoader, data_load4.py:110-166).
+
+    crops (B, S, S) f32 [0,255]; rates (B,); origins (B, 2);
+    keypoints_2d (B, K, 2) full-frame.  Device work is only the target
+    render + jitter + normalize — and the H2D leg shipped 65 KB crops
+    instead of 2.3 MB frames, which is what makes ingest keep up with the
+    chip on hosts whose link (not compute) is the bottleneck.
+    """
+    s = crops.shape[-1]
+    kp_crop = (keypoints_2d - origins[:, None, :].astype(jnp.float32)
+               ) * rates[:, None, None]
+    hm, wm = heatmap_ops.render_targets(kp_crop, s, s, sigma)
+    if train:
+        crops = color_jitter(key, crops)
+    image = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]
+    return {
+        'image': image,
+        'heatmaps': jnp.transpose(hm, (0, 2, 3, 1)),
+        'weights': jnp.transpose(wm, (0, 2, 3, 1)),
+        'rate': rates,
+        'origin': origins,
+        'keypoints_crop': kp_crop,
+    }
+
+
+def prefetch_to_device(batches: Iterable[dict[str, Any]],
+                       sharding=None, size: int = 2
+                       ) -> Iterator[dict[str, Any]]:
+    """Double-buffered device staging: keep ``size`` batches' H2D
+    transfers in flight ahead of the consumer.
+
+    ``jax.device_put`` of a host numpy array enqueues an async copy; by
+    issuing batch j+1's transfers while the device still computes on
+    batch j, the link and the chip overlap instead of serializing (the
+    role DataLoader prefetching + pinned-memory ``.cuda(non_blocking)``
+    plays in the reference stack, main.py:273).  Non-array entries
+    (e.g. the 'name' string list) pass through untouched.  With
+    ``sharding`` (typically ``parallel.batch_sharding(mesh)``) arrays
+    land pre-sharded, so the consuming jit does no relayout; in a
+    multi-process run each host's batch becomes its block of the global
+    batch (parallel/distributed.py:stage_global).
+    """
+    from esa_pose_estimation_tpu.parallel.distributed import stage_global
+
+    buf: collections.deque = collections.deque()
+    it = iter(batches)
+
+    def put(v):
+        if sharding is None:
+            return jax.device_put(v)
+        return stage_global(v, sharding)
+
+    def stage(b: dict[str, Any]) -> dict[str, Any]:
+        return {k: (put(v) if isinstance(v, np.ndarray) else v)
+                for k, v in b.items()}
+
+    try:
+        for _ in range(size):
+            buf.append(stage(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(stage(next(it)))
+        except StopIteration:
+            pass
+        yield out

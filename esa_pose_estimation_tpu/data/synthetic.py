@@ -129,12 +129,13 @@ def make_sample(key: jax.Array, points_3d: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=('batch_size', 'crop_size', 'sigma',
                                    'render', 'with_frames', 'height',
-                                   'width'))
+                                   'width', 'augment_geom'))
 def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
                crop_size: int = 128, sigma: float = 2.0,
                render: bool = True,
                with_frames: bool = False,
-               height: int = 1200, width: int = 1920
+               height: int = 1200, width: int = 1920,
+               augment_geom: bool = False
                ) -> dict[str, jnp.ndarray]:
     """A full training batch: crops + heatmap/weight targets (NHWC).
 
@@ -162,6 +163,30 @@ def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
     rates = crop_size / size.astype(jnp.float32)
     kp_crop = (samples.keypoints_2d - origins[:, None, :].astype(jnp.float32)
                ) * rates[:, None, None]
+    if augment_geom:
+        # Train-time geometric augmentation (the reference only
+        # color-jitters, data_load4.py:78-83): per-sample horizontal
+        # flip (p=0.5) + uniform in-plane rotation about the crop
+        # center, applied to the crop-space KEYPOINTS BEFORE the crop
+        # imagery and targets are rendered from them — exact and free,
+        # no resampling pass.  Mirrored/rolled constellations are
+        # consistent input->target pairs (each keypoint's blob is
+        # rendered at its transformed location), so the net sees edge
+        # truncations and unusual in-plane attitudes at train time.
+        # Pose labels (quat/trans) are NOT transformed; augmented
+        # batches are for heatmap training only (the eval path calls
+        # this function without augment_geom).
+        kf, kr = jax.random.split(jax.random.fold_in(key, 17), 2)
+        flip = jax.random.bernoulli(kf, 0.5, (batch_size,))
+        theta = jax.random.uniform(kr, (batch_size,),
+                                   minval=-jnp.pi, maxval=jnp.pi)
+        c = (crop_size - 1) / 2.0
+        x = jnp.where(flip[:, None], 2.0 * c - kp_crop[..., 0],
+                      kp_crop[..., 0]) - c
+        y = kp_crop[..., 1] - c
+        ct, st = jnp.cos(theta)[:, None], jnp.sin(theta)[:, None]
+        kp_crop = jnp.stack([c + ct * x - st * y,
+                             c + st * x + ct * y], axis=-1)
     hm, wm = heatmap_ops.render_targets(kp_crop, crop_size, crop_size, sigma)
     if render:
         spot = heatmap_ops.render_heatmaps(

@@ -1,3 +1,4 @@
+from esa_pose_estimation_tpu.parallel import distributed  # noqa: F401
 from esa_pose_estimation_tpu.parallel import mesh  # noqa: F401
 from esa_pose_estimation_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,

@@ -102,12 +102,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x: Any, sh: NamedSharding) -> Any:
+    """device_put that also works when the mesh spans multiple hosts
+    (each process holds the local block / a full replica respectively —
+    see parallel/distributed.py:stage_global)."""
+    if jax.process_count() > 1:
+        if isinstance(x, jax.Array):
+            # already global (e.g. a jitted producer's output): the
+            # consuming jit's in_shardings performs any final relayout
+            return x
+        from esa_pose_estimation_tpu.parallel.distributed import stage_global
+        return stage_global(np.asarray(x), sh)
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Place a host pytree onto the mesh with the batch axis sharded."""
+    """Place a host pytree onto the mesh with the batch axis sharded.
+
+    In a multi-process run the given (per-host) batch becomes this
+    host's block of the global batch.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: _put(x, sh), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree.map(lambda x: _put(x, rep), tree)

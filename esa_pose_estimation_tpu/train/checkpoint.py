@@ -25,7 +25,23 @@ class CheckpointManager:
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
-        self._ckptr = ocp.PyTreeCheckpointer()
+        if jax.process_count() > 1:
+            # Multi-controller runs: state arrives here as host numpy
+            # (fully-replicated arrays are device_get'd by the caller),
+            # every process has its own directory, and each save must be
+            # process-LOCAL — orbax's default save is a collective whose
+            # completion barrier spans all processes, so the default
+            # checkpointer deadlocks the pod if any process skips or
+            # fails a save (observed: proc0 hung in the barrier while
+            # proc1 had no file to rename).
+            pid = jax.process_index()
+            mp = ocp.options.MultiprocessingOptions(
+                primary_host=pid, active_processes={pid},
+                barrier_sync_key_prefix=f'ckpt_proc{pid}')
+            self._ckptr = ocp.Checkpointer(
+                ocp.PyTreeCheckpointHandler(), multiprocessing_options=mp)
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)

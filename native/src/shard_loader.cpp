@@ -542,9 +542,16 @@ class Loader {
 
 extern "C" {
 
-void* loader_open2(const char* path, int batch_size, int n_threads,
-                   int shuffle, uint64_t seed, int drop_last,
-                   int crop_size) {
+// Record-subrange open: the loader serves only records
+// [rec_start, rec_start + rec_count) of the shard.  This is the
+// multi-host ingest contract — process i of P opens its contiguous
+// slice of the shared shard file, so P hosts stream disjoint data with
+// no coordination (the reference's DataLoader has no such notion; its
+// DataParallel is single-process, main.py:254).  rec_count == 0 means
+// "to the end".
+void* loader_open3(const char* path, int batch_size, int n_threads,
+                   int shuffle, uint64_t seed, int drop_last, int crop_size,
+                   uint64_t rec_start, uint64_t rec_count) {
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   ShardHeader hdr;
@@ -552,20 +559,33 @@ void* loader_open2(const char* path, int batch_size, int n_threads,
     ::close(fd);
     return nullptr;
   }
+  if (rec_start > hdr.n_records) {
+    ::close(fd);
+    return nullptr;
+  }
+  uint64_t avail = hdr.n_records - rec_start;
+  uint64_t take = (rec_count == 0) ? avail : std::min(rec_count, avail);
   std::vector<RecordIndex> index;
-  index.reserve(hdr.n_records);
+  index.reserve(take);
   uint64_t off = sizeof(ShardHeader);
-  for (uint32_t i = 0; i < hdr.n_records; ++i) {
+  for (uint64_t i = 0; i < rec_start + take; ++i) {
     RecordHeader rh;
     if (!pread_full(fd, &rh, sizeof(rh), off)) {
       ::close(fd);
       return nullptr;
     }
-    index.push_back({off});
+    if (i >= rec_start) index.push_back({off});
     off += sizeof(RecordHeader) + rh.payload_size;
   }
   return new Loader(fd, hdr, std::move(index), batch_size, n_threads,
                     shuffle != 0, seed, drop_last != 0, crop_size);
+}
+
+void* loader_open2(const char* path, int batch_size, int n_threads,
+                   int shuffle, uint64_t seed, int drop_last,
+                   int crop_size) {
+  return loader_open3(path, batch_size, n_threads, shuffle, seed, drop_last,
+                      crop_size, 0, 0);
 }
 
 void* loader_open(const char* path, int batch_size, int n_threads,

@@ -200,3 +200,27 @@ class TestDetector:
         centers_gt = np.asarray((boxes[:4, :2] + boxes[:4, 2:]) / 2)
         err = np.linalg.norm(centers_pred - centers_gt, axis=-1)
         assert err.mean() < 8.0, err
+
+
+class TestPerturbFrames:
+    """Capture-condition perturbations for detector robustness training
+    (cli/train_detector --augment; VERDICT r3 missing #2)."""
+
+    def test_range_shape_and_determinism(self):
+        from esa_pose_estimation_tpu.cli.train_detector import perturb_frames
+        key = jax.random.PRNGKey(0)
+        frames = jax.random.uniform(jax.random.PRNGKey(1), (4, 48, 64),
+                                    minval=0.0, maxval=255.0)
+        a = np.asarray(perturb_frames(key, frames))
+        b = np.asarray(perturb_frames(key, frames))
+        np.testing.assert_array_equal(a, b)
+        assert a.shape == frames.shape
+        assert a.min() >= 0.0 and a.max() <= 255.0
+        assert not np.allclose(a, np.asarray(frames))  # actually perturbs
+
+    def test_distinct_per_frame(self):
+        from esa_pose_estimation_tpu.cli.train_detector import perturb_frames
+        frames = jnp.full((3, 32, 32), 128.0)
+        out = np.asarray(perturb_frames(jax.random.PRNGKey(2), frames))
+        # identical inputs must receive different perturbations
+        assert not np.allclose(out[0], out[1])
