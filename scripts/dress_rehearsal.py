@@ -1,0 +1,122 @@
+"""Full-scale dress rehearsal of the production chain on real hardware.
+
+Runs the EXACT route real SPEED data takes, at SPEED scale (1920x1200
+frames, flagship hrnet_esa), end to end from disk, timing every stage
+(VERDICT r4 item 1; reference workflow main.py:237-424 -> demo.py ->
+val.py:94-336):
+
+  1. export_reference_layout  — images/train|test|real_test JPEGs +
+     train|test|real_test.{json,pkl} in the reference's exact layout
+  2. records_from_pickle -> write_shard_from_records  — pack the train
+     split into one SPD1 shard for the C++ native loader
+  3. cli/train --train-shard  — sharded train step over the native
+     loader with double-buffered device prefetch, eval epochs + best
+     gates + checkpoints
+  4. cli/evaluate  — labeled SPEED scores from best_rotate
+  5. cli/submit    — test + real_test partitions -> leaderboard CSV
+
+Prints one JSON object with per-stage wall-clock and the final scores;
+the QUALITY.md "dress rehearsal" row records the measured run.
+
+Usage (TPU host):
+  python scripts/dress_rehearsal.py --root /tmp/speed_dress \
+      [--n-train 480 --epochs 40]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--root', default='/tmp/speed_dress')
+    ap.add_argument('--workdir', default='/tmp/speed_dress/run')
+    ap.add_argument('--n-train', type=int, default=480)
+    ap.add_argument('--n-test', type=int, default=64)
+    ap.add_argument('--n-real-test', type=int, default=32)
+    ap.add_argument('--epochs', type=int, default=40)
+    ap.add_argument('--batch-size', type=int, default=32)
+    ap.add_argument('--log-every', type=int, default=15)
+    ap.add_argument('--skip-export', action='store_true',
+                    help='reuse an existing --root dataset + shard')
+    args = ap.parse_args(argv)
+
+    from esa_pose_estimation_tpu.cli import evaluate as eval_cli
+    from esa_pose_estimation_tpu.cli import submit as submit_cli
+    from esa_pose_estimation_tpu.cli import train as train_cli
+    from esa_pose_estimation_tpu.data import shards, speed, speed_gen
+
+    timing: dict[str, float] = {}
+    shard = os.path.join(args.root, 'train.spd1')
+
+    if not args.skip_export:
+        t0 = time.time()
+        speed_gen.export_reference_layout(
+            args.root, n_train=args.n_train, n_test=args.n_test,
+            n_real_test=args.n_real_test, height=1200, width=1920,
+            n_kp=30, seed=0, batch=8)
+        timing['export_s'] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        records = speed.records_from_pickle(
+            os.path.join(args.root, 'train.pkl'),
+            os.path.join(args.root, 'images', 'train'))
+        shards.write_shard_from_records(shard, records, height=1200,
+                                        width=1920, compressed=True)
+        timing['shard_s'] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    train_cli.main([
+        '--workdir', args.workdir, '--epochs', str(args.epochs),
+        '--batch-size', str(args.batch_size),
+        '--train-shard', shard, '--loader-threads', '8',
+        '--no-panels', '--log-every', str(args.log_every)])
+    timing['train_s'] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    result = eval_cli.main([
+        '--workdir', args.workdir,
+        '--test-pkl', os.path.join(args.root, 'test.pkl'),
+        '--image-root', os.path.join(args.root, 'images', 'test'),
+        '--checkpoint', 'best_rotate',
+        '--batch-size', str(args.batch_size)])
+    timing['evaluate_s'] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    csv_path = submit_cli.main([
+        '--workdir', args.workdir,
+        '--test-pkl', os.path.join(args.root, 'test.pkl'),
+        '--image-root', os.path.join(args.root, 'images', 'test'),
+        '--real-test-pkl', os.path.join(args.root, 'real_test.pkl'),
+        '--real-image-root', os.path.join(args.root, 'images',
+                                          'real_test'),
+        '--checkpoint', 'best_rotate',
+        '--batch-size', str(args.batch_size), '--suffix', 'rehearsal'])
+    timing['submit_s'] = round(time.time() - t0, 1)
+
+    with open(csv_path) as f:
+        rows = list(csv.reader(f))
+    n_expected = args.n_test + args.n_real_test
+    out = {
+        'timing': timing,
+        'total_s': round(sum(timing.values()), 1),
+        'eval_score_t': round(result['score_t'], 5),
+        'eval_score_r': round(result['score_r'], 5),
+        'eval_speed': round(result['speed'], 5),
+        'eval_pix_err': round(result['pix_err'], 3),
+        'csv_rows': len(rows),
+        'csv_rows_expected': n_expected,
+        'csv_schema_ok': all(len(r) == 8 for r in rows),
+        'csv_path': csv_path,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == '__main__':
+    main()

@@ -34,7 +34,11 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -77,7 +81,59 @@ def time_forward(model, batch):
     }
 
 
+def time_fn(fn, *args, iters: int = N_ITERS):
+    """Steady-state ms per call with a hard host sync per measurement."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(jnp.asarray(out).ravel()[0].astype(jnp.float32))  # hard sync
+    return (time.perf_counter() - start) / iters * 1e3
+
+
+def chain_experiment():
+    """VERDICT r4 item 7: block-resident branch chain (Pallas, activations
+    pinned in VMEM across k residual blocks) vs the XLA conv chain, at the
+    HRNet branch-1 shape (64x64x32) for batch 256 and 512.
+
+    The chain FLOPs are 2k conv3x3 C->C; MFU here is vs the v5e bf16
+    peak.  A win must show up at identical arithmetic before any
+    model-integration work is justified."""
+    from esa_pose_estimation_tpu.experimental import branch_chain as bc
+
+    k, c, h = 4, 32, 64
+    weights, biases = bc.make_test_chain(jax.random.PRNGKey(0), k=k, c=c)
+    flops_per_img = 2 * k * (h * h * 9 * c * c * 2)
+    results = {}
+    for batch in (256, 512):
+        x = (0.5 * jax.random.normal(
+            jax.random.PRNGKey(1), (batch, h, h, c))).astype(jnp.bfloat16)
+        xla_fn = jax.jit(lambda a: bc.branch_chain_xla(a, weights, biases))
+        row = {'xla_ms': round(time_fn(xla_fn, x), 2)}
+        for t in (1, 2, 4):
+            try:
+                fn = jax.jit(lambda a, _t=t: bc.branch_chain_pallas(
+                    a, weights, biases, block_t=_t, interpret=False))
+                row[f'pallas_t{t}_ms'] = round(time_fn(fn, x), 2)
+            except Exception as e:  # noqa: BLE001 — VMEM overflow is data
+                row[f'pallas_t{t}_ms'] = f'failed: {type(e).__name__}'
+        total = flops_per_img * batch
+        for name, ms in list(row.items()):
+            if isinstance(ms, float):
+                row[name.replace('_ms', '_mfu')] = round(
+                    total / (ms * 1e-3) / V5E_PEAK_FLOPS, 4)
+        results[f'chain_b{batch}'] = row
+        print(json.dumps({f'chain_b{batch}': row}), flush=True)
+    return results
+
+
 def main():
+    import sys
+    if '--chain' in sys.argv:
+        print(json.dumps(chain_experiment()))
+        return
+
     from esa_pose_estimation_tpu.models import HRNet
     from esa_pose_estimation_tpu.utils import config as cfg_mod
 

@@ -34,6 +34,7 @@ jax.config.update("jax_threefry_partitionable", True)
 SLOW_MODULES = {
     "test_cli",
     "test_detector",
+    "test_dress_rehearsal",
     "test_linemod_real",
     "test_models",
     "test_pipeline",
