@@ -23,9 +23,19 @@ computed as 9 shifted-tap matmuls (T*H*W, C) @ (C, C) accumulated in
 f32 — taps replace im2col so no (HW, 9C) scratch is materialised (at
 T=4 that scratch alone would exceed VMEM).  The matmuls inherit the
 same N=32 lane waste XLA pays; what the kernel removes is the 2k-1
-intermediate HBM round-trips and the per-conv dispatch overhead.  The
-measurement (scripts/mfu_experiments.py --chain) decides whether that
-is worth anything end to end.
+intermediate HBM round-trips and the per-conv dispatch overhead.
+
+MEASURED NEGATIVE (scripts/mfu_experiments.py --chain, v5e 2026-08-20,
+QUALITY.md §3 lever 6): XLA 3.6/6.2 ms vs this kernel 17.8/34.0 ms at
+batch 256/512 (block_t >= 2 exceeds VMEM).  The hypothesis the kernel
+tested is false at this shape: the XLA chain already runs at ~23% MFU,
+which IS its N=32 lane-efficiency roofline — the convs are
+MXU-lane-bound, not HBM-bound, so the eliminated round-trips (~0.1 of
+~0.45 ms/conv) cannot pay for tap-matmuls that occupy 1/16 of each MXU
+tile (K=32 x N=32 of a 128x128 array) plus per-hop pad/reshape
+relayouts.  An in-VMEM im2col variant (K=288, eff 0.75) would at best
+reach XLA parity by the same arithmetic, so the chain stays a
+documented negative, kept with its exactness tests.
 
 Reference context: the branch chains come from the reference HRNet's
 per-branch BasicBlock stacks (seg_hrnet3.py stage modules); this kernel

@@ -97,25 +97,38 @@ def chain_experiment():
     pinned in VMEM across k residual blocks) vs the XLA conv chain, at the
     HRNet branch-1 shape (64x64x32) for batch 256 and 512.
 
-    The chain FLOPs are 2k conv3x3 C->C; MFU here is vs the v5e bf16
-    peak.  A win must show up at identical arithmetic before any
-    model-integration work is justified."""
+    MEASURED NEGATIVE (v5e, 2026-08-20; QUALITY.md §3 lever 6): median of
+    3x20-iter trials — XLA 3.6 ms (b256) / 6.2 ms (b512) vs Pallas
+    block_t=1 17.8 / 34.0 ms (block_t>=2 exceeds VMEM).  The XLA chain
+    runs at ~23% MFU ≈ its N=cout=32 lane-efficiency roofline, i.e. the
+    narrow convs are MXU-lane-bound, NOT HBM-bound; the round-trips the
+    resident kernel removes are ~0.1 of XLA's ~0.45 ms/conv, while its
+    tap-matmuls occupy 1/16 of each MXU tile (K=32, N=32) and pay
+    per-hop pad/reshape relayouts.  Methodology note: a single-trial
+    first draft read the XLA baseline at 218 ms — through this remote
+    tunnel one-shot timings are unreliable; everything here is
+    best-of-3 trials with a hard host-transfer sync per trial
+    (block_until_ready does not sync on this backend)."""
     from esa_pose_estimation_tpu.experimental import branch_chain as bc
 
     k, c, h = 4, 32, 64
     weights, biases = bc.make_test_chain(jax.random.PRNGKey(0), k=k, c=c)
     flops_per_img = 2 * k * (h * h * 9 * c * c * 2)
+
+    def best_ms(fn, *args):
+        return min(time_fn(fn, *args, iters=20) for _ in range(3))
+
     results = {}
     for batch in (256, 512):
         x = (0.5 * jax.random.normal(
             jax.random.PRNGKey(1), (batch, h, h, c))).astype(jnp.bfloat16)
-        xla_fn = jax.jit(lambda a: bc.branch_chain_xla(a, weights, biases))
-        row = {'xla_ms': round(time_fn(xla_fn, x), 2)}
+        row = {'xla_ms': round(best_ms(jax.jit(bc.branch_chain_xla), x,
+                                       weights, biases), 2)}
         for t in (1, 2, 4):
             try:
                 fn = jax.jit(lambda a, _t=t: bc.branch_chain_pallas(
                     a, weights, biases, block_t=_t, interpret=False))
-                row[f'pallas_t{t}_ms'] = round(time_fn(fn, x), 2)
+                row[f'pallas_t{t}_ms'] = round(best_ms(fn, x), 2)
             except Exception as e:  # noqa: BLE001 — VMEM overflow is data
                 row[f'pallas_t{t}_ms'] = f'failed: {type(e).__name__}'
         total = flops_per_img * batch
