@@ -29,6 +29,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument('--workdir', default='runs/esa_syn')
     ap.add_argument('--checkpoint', default='best_rotate')
+    ap.add_argument('--artifact', default=None,
+                    help='evaluate a portable inference artifact '
+                         '(utils/artifact.py npz) instead of an orbax '
+                         'checkpoint under --workdir — the one-command '
+                         'reproduction path for the QUALITY.md table '
+                         '(e.g. artifacts/esa_syn_best.npz)')
     ap.add_argument('--frames', type=int, default=128)
     ap.add_argument('--batch-size', type=int, default=32)
     ap.add_argument('--seed', type=int, default=991)
@@ -69,14 +75,21 @@ def main(argv=None):
 
     model_cfg = cfg_mod.hrnet_tiny() if args.tiny else cfg_mod.hrnet_esa()
     model = HRNet(model_cfg, dtype=jnp.bfloat16)
-    st = state_mod.create_train_state(
-        model, cfg_mod.TrainConfig(crop_size=args.crop_size),
-        jax.random.PRNGKey(0),
-        (1, args.crop_size, args.crop_size, 1))
-    ckpt = CheckpointManager(os.path.join(args.workdir, 'net_esa'))
-    st, epoch = ckpt.restore_required(args.checkpoint, st)
-    print(f'# loaded {args.checkpoint} (epoch {epoch - 1})')
-    variables = {'params': st.params, 'batch_stats': st.batch_stats}
+    if args.artifact:
+        from esa_pose_estimation_tpu.utils.artifact import (
+            load_inference_artifact,
+        )
+        variables, meta = load_inference_artifact(args.artifact)
+        print(f'# loaded artifact {args.artifact} ({meta})')
+    else:
+        st = state_mod.create_train_state(
+            model, cfg_mod.TrainConfig(crop_size=args.crop_size),
+            jax.random.PRNGKey(0),
+            (1, args.crop_size, args.crop_size, 1))
+        ckpt = CheckpointManager(os.path.join(args.workdir, 'net_esa'))
+        st, epoch = ckpt.restore_required(args.checkpoint, st)
+        print(f'# loaded {args.checkpoint} (epoch {epoch - 1})')
+        variables = {'params': st.params, 'batch_stats': st.batch_stats}
     points_3d = synthetic.spacecraft_points(model_cfg.num_keypoints)
 
     detect = None

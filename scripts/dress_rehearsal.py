@@ -29,7 +29,15 @@ import argparse
 import csv
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
 def main(argv=None):
@@ -39,11 +47,24 @@ def main(argv=None):
     ap.add_argument('--n-train', type=int, default=480)
     ap.add_argument('--n-test', type=int, default=64)
     ap.add_argument('--n-real-test', type=int, default=32)
-    ap.add_argument('--epochs', type=int, default=40)
+    ap.add_argument('--epochs', type=int, default=120)
     ap.add_argument('--batch-size', type=int, default=32)
     ap.add_argument('--log-every', type=int, default=15)
     ap.add_argument('--skip-export', action='store_true',
                     help='reuse an existing --root dataset + shard')
+    ap.add_argument('--png-shard', action='store_true',
+                    help='pack the shard as PNG streams (the reference '
+                         'on-disk encoding) instead of raw frames; the '
+                         'default raw layout is the production ingest '
+                         'format — PNG re-decode costs ~100 ms/frame/core '
+                         'every epoch and starves the chip on few-core '
+                         'hosts (measured 75 s/epoch vs ~10 s)')
+    ap.add_argument('--no-host-crop', dest='host_crop',
+                    action='store_false',
+                    help='crop on device from full shipped frames instead '
+                         'of on the C++ loader threads (host-crop is the '
+                         'production default: 65 KB crops, not 2.3 MB '
+                         'frames, over the host-device link)')
     args = ap.parse_args(argv)
 
     from esa_pose_estimation_tpu.cli import evaluate as eval_cli
@@ -56,18 +77,22 @@ def main(argv=None):
 
     if not args.skip_export:
         t0 = time.time()
+        print('exporting reference-layout dataset ...', flush=True)
         speed_gen.export_reference_layout(
             args.root, n_train=args.n_train, n_test=args.n_test,
             n_real_test=args.n_real_test, height=1200, width=1920,
             n_kp=30, seed=0, batch=8)
         timing['export_s'] = round(time.time() - t0, 1)
 
+    if not os.path.exists(shard):
         t0 = time.time()
+        print('packing SPD1 shard ...', flush=True)
         records = speed.records_from_pickle(
             os.path.join(args.root, 'train.pkl'),
             os.path.join(args.root, 'images', 'train'))
         shards.write_shard_from_records(shard, records, height=1200,
-                                        width=1920, compressed=True)
+                                        width=1920,
+                                        compressed=args.png_shard)
         timing['shard_s'] = round(time.time() - t0, 1)
 
     t0 = time.time()
@@ -75,7 +100,8 @@ def main(argv=None):
         '--workdir', args.workdir, '--epochs', str(args.epochs),
         '--batch-size', str(args.batch_size),
         '--train-shard', shard, '--loader-threads', '8',
-        '--no-panels', '--log-every', str(args.log_every)])
+        '--no-panels', '--log-every', str(args.log_every)]
+        + (['--host-crop'] if args.host_crop else []))
     timing['train_s'] = round(time.time() - t0, 1)
 
     t0 = time.time()
