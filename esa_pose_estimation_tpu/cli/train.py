@@ -61,6 +61,7 @@ def evaluate(model, variables, eval_batches, points_3d, key,
     score_t = AverageMeter()
     score_r = AverageMeter()
     pix_err = AverageMeter()
+    n_bad = 0
     panels_written = None
     for i, batch in enumerate(eval_batches):
         out = infer_poses(model, variables,
@@ -75,8 +76,16 @@ def evaluate(model, variables, eval_batches, points_3d, key,
             jnp.asarray(batch['trans']))
         st = np.asarray(scores.score_t)
         sr = np.asarray(scores.score_r)
-        score_t.update(float(st.mean()), n=len(st))
-        score_r.update(float(sr.mean()), n=len(sr))
+        # A half-trained net can emit degenerate keypoint sets whose pose
+        # solve goes non-finite; count those frames explicitly instead of
+        # letting one NaN swallow the epoch mean (and with it the
+        # best_tran/best_rotate gates — NaN compares false against every
+        # running minimum, silently freezing checkpoint selection).
+        finite = np.isfinite(st) & np.isfinite(sr)
+        n_bad += int((~finite).sum())
+        if finite.any():
+            score_t.update(float(st[finite].mean()), n=int(finite.sum()))
+            score_r.update(float(sr[finite].mean()), n=int(finite.sum()))
         if 'keypoints_2d' in batch:
             err = np.linalg.norm(
                 np.asarray(out.keypoints_2d) - batch['keypoints_2d'],
@@ -102,8 +111,14 @@ def evaluate(model, variables, eval_batches, points_3d, key,
                     bbox=np.asarray(batch['bbox'])[j],
                     title=f'speed={total[j]:.4f}')
             panels_written = panel_dir
+    if score_t.count == 0:
+        # every frame went non-finite: report inf (not the meter's 0.0
+        # initial value) so the best gates cannot mistake a fully
+        # degenerate eval for a perfect one
+        score_t.avg = score_r.avg = float('inf')
     result = {'score_t': score_t.avg, 'score_r': score_r.avg,
-              'speed': score_t.avg + score_r.avg, 'pix_err': pix_err.avg}
+              'speed': score_t.avg + score_r.avg, 'pix_err': pix_err.avg,
+              'nonfinite': n_bad}
     if panels_written:
         result['panel_dir'] = panels_written
     return result

@@ -41,9 +41,14 @@ from esa_pose_estimation_tpu.data import synthetic
 def _render_split(key: jax.Array, points_3d: jnp.ndarray, n: int,
                   height: int, width: int, batch: int):
     """Yield (image uint8 (H,W), bbox, kp2d, quat, trans) per frame."""
-    make = jax.jit(jax.vmap(
-        lambda k: synthetic.make_sample(k, points_3d, height=height,
-                                        width=width)))
+    def _one(k):
+        s = synthetic.make_sample(k, points_3d, height=height, width=width)
+        # uint8 ON device: a full-frame f32 batch is 4x the bytes through
+        # the device link (same rationale as shards.write_synthetic_shard)
+        return s._replace(
+            image=jnp.clip(s.image, 0, 255).astype(jnp.uint8))
+
+    make = jax.jit(jax.vmap(_one))
     done = 0
     i = 0
     while done < n:
@@ -51,7 +56,7 @@ def _render_split(key: jax.Array, points_3d: jnp.ndarray, n: int,
         s = jax.device_get(make(keys))
         i += 1
         for j in range(min(batch, n - done)):
-            yield (np.clip(s.image[j], 0, 255).astype(np.uint8),
+            yield (s.image[j],
                    np.asarray(s.bbox[j]), np.asarray(s.keypoints_2d[j]),
                    np.asarray(s.quat[j]), np.asarray(s.trans[j]))
             done += 1

@@ -32,6 +32,8 @@ jax.config.update("jax_threefry_partitionable", True)
 #   pytest                 # everything
 # ---------------------------------------------------------------------------
 SLOW_MODULES = {
+    "test_artifact",
+    "test_branch_chain",
     "test_cli",
     "test_detector",
     "test_dress_rehearsal",

@@ -288,3 +288,62 @@ class TestEvalPanels:
         assert pngs == ['frame00.png', 'frame01.png']
         assert all(os.path.getsize(os.path.join(pdir, p)) > 1000
                    for p in pngs)
+
+
+class TestEvalNonfiniteGuard:
+    """cli/train.evaluate: a frame whose pose solve goes non-finite must
+    be counted, excluded from the epoch mean, and a fully degenerate
+    eval must report inf (never the meter's 0.0 initial value) so the
+    best gates cannot fire on it."""
+
+    @staticmethod
+    def _run_eval(monkeypatch, bad_frames):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from esa_pose_estimation_tpu.cli import train as train_cli
+        from esa_pose_estimation_tpu.pipeline import PoseOutput
+
+        b, k = 4, 6
+
+        def fake_infer(model, variables, frames, bboxes, points_3d, key,
+                       **kw):
+            R = jnp.tile(jnp.eye(3)[None], (b, 1, 1))
+            t = jnp.tile(jnp.asarray([0.0, 0.0, 10.0])[None], (b, 1))
+            bad = jnp.asarray(bad_frames)[:, None]
+            t = jnp.where(bad, jnp.nan, t)
+            return PoseOutput(
+                quat=jnp.zeros((b, 4)), trans=t, R=R,
+                keypoints_2d=jnp.zeros((b, k, 2)),
+                confidences=jnp.zeros((b, k)),
+                selected=jnp.zeros((b, k), bool),
+                heatmaps=jnp.zeros((b, 8, 8, k)),
+                rates=jnp.ones((b,)), origins=jnp.zeros((b, 2)))
+
+        monkeypatch.setattr(train_cli, 'infer_poses', fake_infer)
+        batch = {
+            'frame': np.zeros((b, 16, 16), np.float32),
+            'bbox': np.tile(np.asarray([0, 0, 15, 15], np.float32),
+                            (b, 1)),
+            'quat': np.tile(np.asarray([1, 0, 0, 0], np.float32), (b, 1)),
+            'trans': np.tile(np.asarray([0, 0, 10.0], np.float32),
+                             (b, 1)),
+        }
+        import jax
+        return train_cli.evaluate(None, None, [batch],
+                                  jnp.zeros((k, 3)),
+                                  jax.random.PRNGKey(0))
+
+    def test_partial_nonfinite_excluded(self, monkeypatch):
+        import numpy as np
+        result = self._run_eval(monkeypatch, [False, True, False, False])
+        assert result['nonfinite'] == 1
+        assert np.isfinite(result['speed'])
+        # identity pose vs identity ground truth: finite frames score ~0
+        assert result['speed'] < 1e-5
+
+    def test_all_nonfinite_reports_inf(self, monkeypatch):
+        result = self._run_eval(monkeypatch, [True, True, True, True])
+        assert result['nonfinite'] == 4
+        assert result['score_t'] == float('inf')
+        assert result['score_r'] == float('inf')
