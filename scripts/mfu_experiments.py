@@ -141,10 +141,68 @@ def chain_experiment():
     return results
 
 
+def int8_experiment():
+    """Head-conv int8 probe: does XLA's s8xs8->s32 conv reach the 2x MXU
+    rate at the flagship head shape (3x3, 480->480 at 64px, batch 256)?
+    Times the exact f32->bf16 baseline, the int8 conv INCLUDING dynamic
+    activation quantization + dequant, and the raw int8 conv alone.
+    Decide-then-integrate: experimental/int8_head.py only wires into the
+    model if this probe shows a real win."""
+    from esa_pose_estimation_tpu.experimental import int8_head as q
+
+    batch, hw, c = 256, 64, 480
+    key = jax.random.PRNGKey(0)
+    w = 0.05 * jax.random.normal(key, (3, 3, c, c), jnp.float32)
+    x = jax.random.normal(jax.random.fold_in(key, 1), (batch, hw, hw, c))
+    w_q, s_w = q.quantize_weights_per_channel(w)
+    x_bf, w_bf = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    x_q8, _ = q.quantize_activations(x)
+
+    import jax.lax as lax
+
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ('NHWC', 'HWIO', 'NHWC'))
+
+    def conv_bf16(a, k):
+        return lax.conv_general_dilated(
+            a, k, (1, 1), 'SAME', dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+
+    def conv_s8(a, k):
+        return lax.conv_general_dilated(
+            a, k, (1, 1), 'SAME', dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
+
+    flops = 2 * batch * hw * hw * 9 * c * c
+
+    def best_ms(fn, *args):
+        return min(time_fn(fn, *args, iters=20) for _ in range(3))
+
+    out = {}
+    for name, fn, args in (
+            ('bf16', jax.jit(conv_bf16), (x_bf, w_bf)),
+            ('int8_with_quant', jax.jit(
+                lambda a: q.int8_conv(a, w_q, s_w)), (x,)),
+            ('int8_raw', jax.jit(conv_s8), (x_q8, w_q))):
+        try:
+            ms = best_ms(fn, *args)
+            out[name] = {'ms': round(ms, 2),
+                         'tflops': round(flops / (ms * 1e-3) / 1e12, 1),
+                         'mfu_vs_bf16_peak': round(
+                             flops / (ms * 1e-3) / V5E_PEAK_FLOPS, 3)}
+        except Exception as e:  # noqa: BLE001 — unsupported dtype is data
+            out[name] = f'failed: {type(e).__name__}: {e}'
+        print(json.dumps({name: out[name]}), flush=True)
+    return out
+
+
 def main():
     import sys
     if '--chain' in sys.argv:
         print(json.dumps(chain_experiment()))
+        return
+    if '--int8' in sys.argv:
+        print(json.dumps(int8_experiment()))
         return
 
     from esa_pose_estimation_tpu.models import HRNet
