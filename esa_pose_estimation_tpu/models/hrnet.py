@@ -215,7 +215,11 @@ class HRNet(nn.Module):
         ups = [xs[0]] + [resize_bilinear(b, (h0, w0), align_corners=False)
                          for b in xs[1:]]
         total = jnp.concatenate(ups, axis=-1)
-        total = ConvBN(total.shape[-1], c.first_head_kernel, 1, **kw)(total, train)
+        # int8_serving marks the FLOP-dominant head conv (73% of forward
+        # FLOPs) as eligible for the int8 serving path — active only when
+        # layers.INT8_SERVING is switched on (default off, see layers.py)
+        total = ConvBN(total.shape[-1], c.first_head_kernel, 1,
+                       int8_serving=True, **kw)(total, train)
         total = ConvBN(c.num_keypoints, c.final_conv_kernel, 1, **kw)(total, train)
         # back to the INPUT resolution (2*h0 only equals it for even
         # sizes; an odd crop would otherwise emit one extra row/col and

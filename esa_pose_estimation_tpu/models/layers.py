@@ -68,8 +68,26 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int],
     return jnp.einsum('pw,nowc->nopc', wx, rows)
 
 
+# Serving-time int8 dispatch for FLOP-dominant ConvBNs (the flagship
+# head conv: 73% of forward FLOPs at 84% of bf16 peak — only a faster
+# number format can pass its roofline; v5e int8 MXU rate is 2x bf16).
+# Module-level so benches/tests can force either path; only ConvBNs
+# constructed with ``int8_serving=True`` participate. Default off until
+# the on-chip probe (scripts/mfu_experiments.py --int8) and the held-out
+# accuracy gate justify it.
+INT8_SERVING: bool = False
+
+
 class ConvBN(nn.Module):
-    """Conv (no bias) + BatchNorm [+ ReLU]."""
+    """Conv (no bias) + BatchNorm [+ ReLU].
+
+    ``int8_serving=True`` marks this ConvBN as eligible for the int8
+    serving path (enabled globally by ``INT8_SERVING``): per-channel
+    int8 weights x dynamically-quantized int8 activations accumulate in
+    int32 on the MXU, dequantize, and run the frozen-BN affine in f32
+    (experimental/int8_head.py). Training and init always use the f32/
+    bf16 composite — the param tree is identical either way.
+    """
     features: int
     kernel: int = 3
     stride: int = 1
@@ -77,9 +95,28 @@ class ConvBN(nn.Module):
     dtype: Dtype = jnp.float32
     axis_name: str | None = None
     bn_momentum: float = 0.99
+    int8_serving: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.int8_serving and INT8_SERVING and not train
+                and not self.is_initializing()):
+            from esa_pose_estimation_tpu.experimental.int8_head import (
+                int8_conv,
+                quantize_weights_per_channel,
+            )
+            w = self.get_variable('params', 'Conv_0')['kernel']
+            bn_p = self.get_variable('params', 'BatchNorm_0')
+            bn_s = self.get_variable('batch_stats', 'BatchNorm_0')
+            w_q, s_w = quantize_weights_per_channel(
+                jnp.asarray(w, jnp.float32))
+            y = int8_conv(x.astype(jnp.float32), w_q, s_w,
+                          stride=self.stride)
+            inv = bn_p['scale'] / jnp.sqrt(bn_s['var'] + 1e-5)
+            y = (y - bn_s['mean']) * inv + bn_p['bias']
+            if self.relu:
+                y = nn.relu(y)
+            return y.astype(self.dtype)
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride),
                     padding=self.kernel // 2, use_bias=False,

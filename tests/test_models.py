@@ -200,3 +200,43 @@ class TestMergedFuse:
         finally:
             hr.MERGED_FUSE = old
         assert out.shape == (2, 64, 64, cfg.num_keypoints)
+
+
+class TestInt8Serving:
+    """layers.INT8_SERVING: the int8 head-conv path must track the f32
+    composite to quantization noise at eval, and never engage in
+    training (dynamic-quant rounding has no useful gradient and BN must
+    see real batch statistics)."""
+
+    def test_eval_path_tracks_composite(self):
+        from esa_pose_estimation_tpu.models import layers
+        cfg = cfg_mod.hrnet_tiny()
+        model = HRNet(cfg, dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+        variables = jax.jit(model.init, static_argnames=('train',))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)), train=False)
+        ref = np.asarray(model.apply(variables, x, train=False))
+        old = layers.INT8_SERVING
+        try:
+            layers.INT8_SERVING = True
+            out = np.asarray(model.apply(variables, x, train=False))
+        finally:
+            layers.INT8_SERVING = old
+        scale = max(float(np.abs(ref).max()), 1.0)
+        assert float(np.abs(out - ref).max()) < 0.05 * scale
+
+    def test_train_path_never_quantizes(self):
+        from esa_pose_estimation_tpu.models import layers
+        cfg = cfg_mod.hrnet_tiny()
+        model = HRNet(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 1))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        old = layers.INT8_SERVING
+        try:
+            layers.INT8_SERVING = True
+            out, _ = model.apply(variables, x, train=True,
+                                 mutable=['batch_stats'])
+        finally:
+            layers.INT8_SERVING = old
+        assert out.shape == (2, 32, 32, cfg.num_keypoints)
+        assert bool(jnp.isfinite(out).all())
