@@ -520,6 +520,9 @@ def main(argv=None):
     ap.add_argument('--no-host-crop', action='store_true',
                     help='train-system mode: ship full frames and crop '
                          'on device (host-crop is that mode\'s default)')
+    ap.add_argument('--int8', action='store_true',
+                    help='serve the head conv in int8 '
+                         '(models/layers.py INT8_SERVING; experimental)')
     ap.add_argument('--nhwc-decode', choices=['auto', 'on', 'off'],
                     default='auto',
                     help='force the channels-last decode path (on) or the '
@@ -535,6 +538,9 @@ def main(argv=None):
     if args.nhwc_decode != 'auto':
         from esa_pose_estimation_tpu.ops import peak as _peak
         _peak.NHWC_DECODE = args.nhwc_decode == 'on'
+    if args.int8:
+        from esa_pose_estimation_tpu.models import layers as _layers
+        _layers.INT8_SERVING = True
 
     # The axon tunnel makes jax.devices() HANG (not raise) when its link
     # is down; probe out-of-process first so a dead tunnel yields an

@@ -54,6 +54,11 @@ def main(argv=None):
                     help='average heatmaps with a mirrored-input forward '
                          'pass (transforms.py:16-30 flip_back semantics); '
                          '2x forward cost')
+    ap.add_argument('--int8', action='store_true',
+                    help='serve the FLOP-dominant head conv in int8 '
+                         '(models/layers.py INT8_SERVING; experimental) — '
+                         'this flag IS the accuracy gate: compare scores '
+                         'with/without before enabling anywhere else')
     ap.add_argument('--mirror-evidence', choices=('heatmap', 'cost'),
                     default='heatmap',
                     help='mirror-pose disambiguation signal: reprojected-'
@@ -72,6 +77,10 @@ def main(argv=None):
     from esa_pose_estimation_tpu.train import state as state_mod
     from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
     from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+    if args.int8:
+        from esa_pose_estimation_tpu.models import layers
+        layers.INT8_SERVING = True
 
     model_cfg = cfg_mod.hrnet_tiny() if args.tiny else cfg_mod.hrnet_esa()
     model = HRNet(model_cfg, dtype=jnp.bfloat16)
