@@ -159,7 +159,11 @@ def train(args) -> dict:
     cfg = cfg_mod.TrainConfig(batch_size=args.batch_size,
                               crop_size=args.crop_size,
                               num_epochs=args.epochs,
-                              lr_boundaries=bounds)
+                              lr_boundaries=bounds,
+                              **({'eval_every': args.eval_every}
+                                 if args.eval_every else {}),
+                              **({'eval_after': args.eval_after}
+                                 if args.eval_after is not None else {}))
     workdir = args.workdir
     os.makedirs(workdir, exist_ok=True)
     class_name = 'esa'
@@ -178,6 +182,7 @@ def train(args) -> dict:
     use_shard = args.train_shard is not None
     use_real = args.train_pkl is not None or use_shard
     shard_loader = None
+    test_records = None
     if use_shard:
         from esa_pose_estimation_tpu.data.native_loader import (
             NativeBatchLoader)
@@ -197,6 +202,16 @@ def train(args) -> dict:
         points_3d = synthetic.spacecraft_points(model_cfg.num_keypoints)
         steps_per_epoch = max(shard_loader.meta.n_records // cfg.batch_size,
                               1)
+        # Held-out eval for shard training: with --test-pkl the per-epoch
+        # eval (and so the best_tran/best_rotate gates) measures frames
+        # the net never trains on.  Without it the eval reads the train
+        # shard itself — which the round-4 dress rehearsal showed can
+        # hide total memorization (480 frames x 240 epochs: train-split
+        # 0.0029 vs held-out 0.337 SPEED score; the gates happily kept
+        # the overfit weights).
+        if args.test_pkl:
+            test_records = speed_data.records_from_pickle(
+                args.test_pkl, args.image_root)
     elif use_real:
         # --mixed: data_load5 semantics — one pickle of synthetic-train +
         # real_test records routed by filename length, normalized at 0.5.
@@ -279,7 +294,8 @@ def train(args) -> dict:
                     (data_pipeline.build_batch_from_crops(
                         b['crop'], b['rate'], b['origin'],
                         b['keypoints_2d'], jax.random.fold_in(ekey, j),
-                        train=True, norm_mean=norm_mean), b)
+                        train=True, norm_mean=norm_mean,
+                        augment_geom=args.augment_geom), b)
                     for j, b in enumerate(staged))
             else:
                 batch_iter = (
@@ -287,7 +303,8 @@ def train(args) -> dict:
                         b['frame'], b['bbox'], b['keypoints_2d'],
                         jax.random.fold_in(ekey, j),
                         crop_size=cfg.crop_size,
-                        train=True, norm_mean=norm_mean), b)
+                        train=True, norm_mean=norm_mean,
+                        augment_geom=args.augment_geom), b)
                     for j, b in enumerate(staged))
         elif use_real:
             loader = speed_data.BatchLoader(train_records, proc_batch,
@@ -298,7 +315,8 @@ def train(args) -> dict:
                 (data_pipeline.build_batch(
                     b['frame'], b['bbox'], b['keypoints_2d'],
                     jax.random.fold_in(ekey, j), crop_size=cfg.crop_size,
-                    train=True, norm_mean=norm_mean), b)
+                    train=True, norm_mean=norm_mean,
+                    augment_geom=args.augment_geom), b)
                 for j, b in enumerate(staged))
         else:
             batch_iter = None            # fused scan path below
@@ -377,7 +395,7 @@ def train(args) -> dict:
                 if not args.eval_panels:
                     return None
                 return os.path.join(workdir, 'panels', f'epoch{ep + 1:03d}')
-            if use_shard:
+            if use_shard and test_records is None:
                 import itertools
 
                 from esa_pose_estimation_tpu.data.native_loader import (
@@ -486,11 +504,23 @@ def main(argv=None):
                     help='steps between loss prints; each print costs one '
                          'host sync (raise over a high-latency TPU tunnel)')
     ap.add_argument('--augment-geom', action='store_true',
-                    help='synthetic path: train-time horizontal flip + '
-                         'in-plane rotation applied to the crop-space '
-                         'keypoints before rendering (free, exact; the '
-                         'reference only color-jitters, '
-                         'data_load4.py:78-83)')
+                    help='train-time horizontal flip + in-plane rotation '
+                         'in crop space (the reference only color-jitters, '
+                         'data_load4.py:78-83).  Synthetic path: applied '
+                         'to the keypoints before rendering (free, exact, '
+                         'full +-180 deg).  Shard/pkl paths: flip is an '
+                         'exact slice, rotation resamples the crop '
+                         'bilinearly (+-25 deg) — the overfit control '
+                         'for small on-disk datasets '
+                         '(data/pipeline.py:augment_crop_geom)')
+    ap.add_argument('--eval-every', type=int, default=None,
+                    help='epochs between SPEED evals before --eval-after '
+                         '(default 5; every epoch after).  Per-epoch '
+                         'disk evals dominate wall-clock on small '
+                         'shard datasets')
+    ap.add_argument('--eval-after', type=int, default=None,
+                    help='epoch after which every epoch is evaluated '
+                         '(default 80)')
     ap.add_argument('--no-shuffle', dest='shuffle', action='store_false',
                     help='deterministic record order (reproducibility / '
                          'loss-parity runs)')

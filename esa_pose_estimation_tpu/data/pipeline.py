@@ -17,17 +17,59 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from esa_pose_estimation_tpu.data.augment import color_jitter
+from esa_pose_estimation_tpu.data.augment import (affine_sample,
+                                                  color_jitter,
+                                                  _rotation_matrices)
 from esa_pose_estimation_tpu.ops import crop as crop_ops
 from esa_pose_estimation_tpu.ops import heatmap as heatmap_ops
 
 
-@partial(jax.jit, static_argnames=('crop_size', 'train'))
+def augment_crop_geom(key: jax.Array, crops: jnp.ndarray,
+                      kp_crop: jnp.ndarray, max_deg: float = 25.0
+                      ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Train-time geometric augmentation on CROP-SPACE imagery+keypoints:
+    per-sample horizontal flip (p=0.5, an exact slice) + in-plane
+    rotation about the crop center (bilinear ``affine_sample``).
+
+    The synthetic path applies the same transform pair analytically to
+    its keypoints BEFORE rendering (synthetic.make_batch augment_geom —
+    free and exact there, so it uses the full +-180 deg).  Real shard
+    imagery only exists post-crop, so the rotation resamples pixels and
+    is bounded (default +-25 deg) to keep corner loss and rotated-out
+    keypoints rare; the flip is lossless either way.  The reference
+    never geometric-augments the ESA path (data_load4.py:78-83 is color
+    only) — the round-4 dress rehearsal measured WHY this matters: 480
+    frames x 240 epochs memorized (train-split 0.0029 vs held-out 0.337
+    SPEED score).
+
+    crops (B, S, S) f32 [0,255]; kp_crop (B, K, 2) crop-space.
+    """
+    b, s = crops.shape[0], crops.shape[-1]
+    kf, kr = jax.random.split(key)
+    do = jax.random.bernoulli(kf, 0.5, (b,))
+    crops = jnp.where(do[:, None, None], crops[:, :, ::-1], crops)
+    kp_flip = kp_crop.at[..., 0].set((s - 1) - kp_crop[..., 0])
+    kp_crop = jnp.where(do[:, None, None], kp_flip, kp_crop)
+    ang = jax.random.uniform(kr, (b,), minval=-max_deg, maxval=max_deg)
+    centers = jnp.full((b, 2), (s - 1) / 2.0, jnp.float32)
+    crops = affine_sample(crops, _rotation_matrices(ang, centers))
+    th = jnp.deg2rad(ang)
+    c, sn = jnp.cos(th), jnp.sin(th)
+    rel = kp_crop - centers[:, None, :]
+    kp_crop = jnp.stack(
+        [c[:, None] * rel[..., 0] - sn[:, None] * rel[..., 1],
+         sn[:, None] * rel[..., 0] + c[:, None] * rel[..., 1]],
+        axis=-1) + centers[:, None, :]
+    return crops, kp_crop
+
+
+@partial(jax.jit, static_argnames=('crop_size', 'train', 'augment_geom'))
 def build_batch(frames: jnp.ndarray, bboxes: jnp.ndarray,
                 keypoints_2d: jnp.ndarray, key: jax.Array,
                 crop_size: int = 128, sigma: float = 2.0,
                 train: bool = True, norm_mean: float = 0.449,
-                norm_std: float = 0.229) -> dict[str, jnp.ndarray]:
+                norm_std: float = 0.229,
+                augment_geom: bool = False) -> dict[str, jnp.ndarray]:
     """frames (B, H, W) [0,255]; bboxes (B, 4); keypoints_2d (B, K, 2)
     full-frame -> {'image', 'heatmaps', 'weights', 'rate', 'origin',
     'keypoints_crop'} (NHWC).
@@ -40,6 +82,9 @@ def build_batch(frames: jnp.ndarray, bboxes: jnp.ndarray,
     crops, rates, origins = crop_ops.crop_resize(frames, bboxes, crop_size)
     kp_crop = (keypoints_2d - origins[:, None, :].astype(jnp.float32)
                ) * rates[:, None, None]
+    if train and augment_geom:
+        crops, kp_crop = augment_crop_geom(
+            jax.random.fold_in(key, 23), crops, kp_crop)
     hm, wm = heatmap_ops.render_targets(kp_crop, crop_size, crop_size, sigma)
     if train:
         crops = color_jitter(key, crops)
@@ -54,12 +99,13 @@ def build_batch(frames: jnp.ndarray, bboxes: jnp.ndarray,
     }
 
 
-@partial(jax.jit, static_argnames=('train',))
+@partial(jax.jit, static_argnames=('train', 'augment_geom'))
 def build_batch_from_crops(crops: jnp.ndarray, rates: jnp.ndarray,
                            origins: jnp.ndarray, keypoints_2d: jnp.ndarray,
                            key: jax.Array, sigma: float = 2.0,
                            train: bool = True, norm_mean: float = 0.449,
-                           norm_std: float = 0.229
+                           norm_std: float = 0.229,
+                           augment_geom: bool = False
                            ) -> dict[str, jnp.ndarray]:
     """Target build for HOST-cropped batches (the native loader's
     crop_size mode: its C++ workers already ran the detector-box ->
@@ -75,6 +121,9 @@ def build_batch_from_crops(crops: jnp.ndarray, rates: jnp.ndarray,
     s = crops.shape[-1]
     kp_crop = (keypoints_2d - origins[:, None, :].astype(jnp.float32)
                ) * rates[:, None, None]
+    if train and augment_geom:
+        crops, kp_crop = augment_crop_geom(
+            jax.random.fold_in(key, 23), crops, kp_crop)
     hm, wm = heatmap_ops.render_targets(kp_crop, s, s, sigma)
     if train:
         crops = color_jitter(key, crops)

@@ -70,7 +70,13 @@ def trained(dataset, tmp_path_factory):
         '--workdir', workdir, '--tiny', '--epochs', '5',
         '--batch-size', '8', '--crop-size', '32',
         '--train-shard', shard, '--loader-threads', '2',
-        '--no-panels', '--log-every', '3'])
+        '--no-panels', '--log-every', '3',
+        # round-4 rehearsal lesson: the per-epoch eval (and the best
+        # gates) must measure HELD-OUT frames, with geometric
+        # augmentation as the small-dataset overfit control
+        '--test-pkl', dataset['test_pkl'],
+        '--image-root', dataset['test_images'],
+        '--augment-geom', '--eval-every', '2'])
     return workdir
 
 
@@ -151,8 +157,9 @@ class TestTrainedRun:
         events = [json.loads(l) for l in
                   open(os.path.join(trained, 'events.jsonl'))]
         evals = [e for e in events if e['event'] == 'eval']
-        assert len(evals) == 1 and evals[0]['epoch'] == 5
-        assert np.isfinite(evals[0]['speed'])
+        # --eval-every 2 over 5 epochs -> held-out evals after epochs 2, 4
+        assert [e['epoch'] for e in evals] == [2, 4]
+        assert all(np.isfinite(e['speed']) for e in evals)
 
 
 class TestEvaluateDriver:
