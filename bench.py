@@ -35,7 +35,11 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('EPT_COMPILE_CACHE',
+                                 os.path.join(os.path.dirname(
+                                     os.path.abspath(__file__)),
+                                     '.jax_cache')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 BASELINE_IMG_PER_S = 1.0 / 0.205
@@ -137,7 +141,8 @@ def bench_compute() -> dict:
 
 
 def bench_system(shard_path: str | None, n_records: int = 1024,
-                 threads: int = 8, host_crop: bool = False) -> dict:
+                 threads: int = 8, host_crop: bool = False,
+                 png_shard: bool = False) -> dict:
     """Full-system throughput: C++ shard decode -> H2D -> device pipeline.
 
     Unlike the compute mode, every image is read from disk through the
@@ -155,11 +160,13 @@ def bench_system(shard_path: str | None, n_records: int = 1024,
     from esa_pose_estimation_tpu.data.native_loader import NativeBatchLoader
 
     if shard_path is None:
-        shard_path = '/tmp/ept_bench_shard.spd1'
+        shard_path = ('/tmp/ept_bench_shard_png.spd1' if png_shard
+                      else '/tmp/ept_bench_shard.spd1')
     if not os.path.exists(shard_path):
         print(f'# writing synthetic shard ({n_records} frames) to '
               f'{shard_path} ...', flush=True)
-        shards.write_synthetic_shard(shard_path, n_records)
+        shards.write_synthetic_shard(shard_path, n_records,
+                                     compressed=png_shard)
 
     pts, _, _ = _staged_inputs(2)
     variables, pipeline, tail = build_pipeline()
@@ -204,6 +211,8 @@ def bench_system(shard_path: str | None, n_records: int = 1024,
     print(f'# cold first epoch (disk-bound): '
           f'{n_batches * BATCH / cold_s:.1f} img/s', flush=True)
     stage = 'decode+crop' if host_crop else 'decode'
+    if png_shard:
+        stage = 'png-' + stage
     return {
         'metric': f'system images/sec/chip (C++ shard {stage}+H2D+pipeline)',
         'value': round(img_per_s, 2),
@@ -358,7 +367,8 @@ def bench_train() -> dict:
 
 
 def bench_train_system(shard_path: str | None, n_records: int = 1024,
-                       threads: int = 8, host_crop: bool = True) -> dict:
+                       threads: int = 8, host_crop: bool = True,
+                       png_shard: bool = False) -> dict:
     """Production-configuration training throughput: C++ shard loader ->
     double-buffered H2D -> on-device target build -> sharded train step
     (VERDICT r3 item 2: the real-data route of cli/train.py had no
@@ -382,11 +392,13 @@ def bench_train_system(shard_path: str | None, n_records: int = 1024,
     from esa_pose_estimation_tpu.utils import config as cfg_mod
 
     if shard_path is None:
-        shard_path = '/tmp/ept_bench_shard.spd1'
+        shard_path = ('/tmp/ept_bench_shard_png.spd1' if png_shard
+                      else '/tmp/ept_bench_shard.spd1')
     if not os.path.exists(shard_path):
         print(f'# writing synthetic shard ({n_records} frames) to '
               f'{shard_path} ...', flush=True)
-        shards.write_synthetic_shard(shard_path, n_records)
+        shards.write_synthetic_shard(shard_path, n_records,
+                                     compressed=png_shard)
 
     devices = jax.devices()
     mesh = make_mesh(n_data=len(devices), n_model=1, devices=devices)
@@ -449,6 +461,8 @@ def bench_train_system(shard_path: str | None, n_records: int = 1024,
 
     img_per_s = count / elapsed
     stage = 'decode+crop' if host_crop else 'decode'
+    if png_shard:
+        stage = 'png-' + stage
     return {
         'metric': f'train-system images/sec/chip (C++ {stage} + H2D + '
                   f'target build + train step, batch {BATCH})',
@@ -520,6 +534,12 @@ def main(argv=None):
     ap.add_argument('--no-host-crop', action='store_true',
                     help='train-system mode: ship full frames and crop '
                          'on device (host-crop is that mode\'s default)')
+    ap.add_argument('--png-shard', action='store_true',
+                    help='system/train-system modes: pack the shard as '
+                         'PNG streams (the reference\'s on-disk encoding, '
+                         'data_load4.py:47-51) instead of raw frames — '
+                         'measures the per-epoch host decode cost the '
+                         'reference pays')
     ap.add_argument('--int8', action='store_true',
                     help='serve the head conv in int8 '
                          '(models/layers.py INT8_SERVING; experimental)')
@@ -561,14 +581,16 @@ def main(argv=None):
         return
     if args.mode == 'system':
         out = bench_system(args.shard, args.shard_records,
-                           host_crop=args.host_crop)
+                           host_crop=args.host_crop,
+                           png_shard=args.png_shard)
     elif args.mode == 'voting':
         out = bench_voting()
     elif args.mode == 'train':
         out = bench_train()
     elif args.mode == 'train-system':
         out = bench_train_system(args.shard, args.shard_records,
-                                 host_crop=not args.no_host_crop)
+                                 host_crop=not args.no_host_crop,
+                                 png_shard=args.png_shard)
     elif args.mode == 'two-stage':
         out = bench_two_stage(args.detector_ckpt, args.detector_downscale)
     else:

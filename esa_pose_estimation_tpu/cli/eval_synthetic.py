@@ -59,6 +59,16 @@ def main(argv=None):
                          '(models/layers.py INT8_SERVING; experimental) — '
                          'this flag IS the accuracy gate: compare scores '
                          'with/without before enabling anywhere else')
+    ap.add_argument('--perturb', action='store_true',
+                    help='score the held-out frames through capture-'
+                         'condition perturbations (per-frame exposure '
+                         'gain/offset + gaussian-noise-or-motion-blur '
+                         'coin, data/augment.py:perturb_capture — the '
+                         'same transform cli/train --augment-photo '
+                         'trains through and cli/train_detector '
+                         '--augment uses).  Applied to the FULL frame '
+                         'before crop, i.e. the deployment capture '
+                         'condition, not a crop-space approximation')
     ap.add_argument('--mirror-evidence', choices=('heatmap', 'cost'),
                     default='heatmap',
                     help='mirror-pose disambiguation signal: reprojected-'
@@ -89,6 +99,20 @@ def main(argv=None):
             load_inference_artifact,
         )
         variables, meta = load_inference_artifact(args.artifact)
+        # cross-check the artifact's recorded config against the flags:
+        # a flagship artifact evaluated with --tiny (or a crop-size
+        # mismatch) would otherwise die deep inside flax with an opaque
+        # param-structure error
+        want_model = 'hrnet_tiny' if args.tiny else 'hrnet_esa'
+        if meta.get('model') and meta['model'] != want_model:
+            raise SystemExit(
+                f"artifact {args.artifact} was exported from "
+                f"{meta['model']!r} but the flags select {want_model!r} "
+                f"({'drop' if args.tiny else 'pass'} --tiny)")
+        if meta.get('crop_size') and meta['crop_size'] != args.crop_size:
+            raise SystemExit(
+                f"artifact {args.artifact} expects --crop-size "
+                f"{meta['crop_size']}, got {args.crop_size}")
         print(f'# loaded artifact {args.artifact} ({meta})')
     else:
         st = state_mod.create_train_state(
@@ -143,8 +167,13 @@ def main(argv=None):
         key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
         batch = synthetic.make_batch(key, args.batch_size, points_3d,
                                      with_frames=True)
-        boxes = detect(batch['frame']) if detect else batch['bbox']
-        out = infer_poses(model, variables, batch['frame'], boxes,
+        frames = batch['frame']
+        if args.perturb:
+            from esa_pose_estimation_tpu.data.augment import perturb_capture
+            frames = jax.jit(perturb_capture)(
+                jax.random.fold_in(key, 4242), frames)
+        boxes = detect(frames) if detect else batch['bbox']
+        out = infer_poses(model, variables, frames, boxes,
                           points_3d, jax.random.fold_in(key, 7),
                           crop_size=args.crop_size, conf_threshold=0.6,
                           min_keypoints=0,

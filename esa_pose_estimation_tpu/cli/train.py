@@ -116,6 +116,11 @@ def evaluate(model, variables, eval_batches, points_3d, key,
         # initial value) so the best gates cannot mistake a fully
         # degenerate eval for a perfect one
         score_t.avg = score_r.avg = float('inf')
+        if pix_err.count == 0:
+            # ... and if no keypoint batch updated the meter either, its
+            # 0.0 initial value would log as a perfect pixel error next
+            # to speed=inf in the eval event
+            pix_err.avg = float('inf')
     result = {'score_t': score_t.avg, 'score_r': score_r.avg,
               'speed': score_t.avg + score_r.avg, 'pix_err': pix_err.avg,
               'nonfinite': n_bad}
@@ -263,7 +268,8 @@ def train(args) -> dict:
                     lambda k: synthetic.make_batch(
                         k, cfg.batch_size, points_3d,
                         crop_size=cfg.crop_size,
-                        augment_geom=args.augment_geom),
+                        augment_geom=args.augment_geom,
+                        augment_photo=args.augment_photo),
                     n, cfg.loss_weight_w)
             return scan_cache[n]
     st = replicate(st, mesh)
@@ -275,8 +281,18 @@ def train(args) -> dict:
     best: dict[str, float] = ckpt.load_best()
     result = {}
     key = jax.random.PRNGKey(1234)
-    # Align controllers before the first collective (see dist.barrier).
+    # Rough pre-alignment (setup work has unbounded cross-host variance);
+    # the precise first-collective alignment is compile_aligned below.
     dist.barrier('pre_train')
+    # Multi-process: the first sharded-step execution launches the first
+    # collective, whose communicator setup has a bounded rendezvous
+    # window.  compile_aligned AOT-compiles the step on every controller
+    # and only then barriers, so the launch happens aligned no matter how
+    # unevenly the (minutes-long) compiles were scheduled — see
+    # parallel/distributed.py:compile_aligned.  `step_exec` holds the
+    # aligned executable after the first step.
+    step_exec = step_fn
+    need_align = n_proc > 1
     for epoch in range(begin_epoch, cfg.num_epochs):
         t0 = time.time()
         losses = AverageMeter()
@@ -295,7 +311,8 @@ def train(args) -> dict:
                         b['crop'], b['rate'], b['origin'],
                         b['keypoints_2d'], jax.random.fold_in(ekey, j),
                         train=True, norm_mean=norm_mean,
-                        augment_geom=args.augment_geom), b)
+                        augment_geom=args.augment_geom,
+                        augment_photo=args.augment_photo), b)
                     for j, b in enumerate(staged))
             else:
                 batch_iter = (
@@ -304,7 +321,8 @@ def train(args) -> dict:
                         jax.random.fold_in(ekey, j),
                         crop_size=cfg.crop_size,
                         train=True, norm_mean=norm_mean,
-                        augment_geom=args.augment_geom), b)
+                        augment_geom=args.augment_geom,
+                        augment_photo=args.augment_photo), b)
                     for j, b in enumerate(staged))
         elif use_real:
             loader = speed_data.BatchLoader(train_records, proc_batch,
@@ -316,7 +334,8 @@ def train(args) -> dict:
                     b['frame'], b['bbox'], b['keypoints_2d'],
                     jax.random.fold_in(ekey, j), crop_size=cfg.crop_size,
                     train=True, norm_mean=norm_mean,
-                    augment_geom=args.augment_geom), b)
+                    augment_geom=args.augment_geom,
+                    augment_photo=args.augment_photo), b)
                 for j, b in enumerate(staged))
         else:
             batch_iter = None            # fused scan path below
@@ -332,7 +351,11 @@ def train(args) -> dict:
             for i, (train_batch, _) in enumerate(batch_iter):
                 train_batch = {k: train_batch[k]
                                for k in ('image', 'heatmaps', 'weights')}
-                st, metrics = step_fn(st, shard_batch(train_batch, mesh))
+                sbatch = shard_batch(train_batch, mesh)
+                if need_align:
+                    step_exec = dist.compile_aligned(step_fn, st, sbatch)
+                    need_align = False
+                st, metrics = step_exec(st, sbatch)
                 loss_hist.append(metrics['loss'][None])
                 if i % args.log_every == args.log_every - 1:
                     losses.update(float(metrics['loss']))
@@ -348,7 +371,12 @@ def train(args) -> dict:
             base = 0
             while base < steps_per_epoch:
                 n = min(args.log_every, steps_per_epoch - base)
-                st, chunk_losses = _scan_for(n)(st, ekey, jnp.int32(base))
+                fn = _scan_for(n)
+                if need_align:
+                    fn = dist.compile_aligned(fn, st, ekey, jnp.int32(base))
+                    scan_cache[n] = fn
+                    need_align = False
+                st, chunk_losses = fn(st, ekey, jnp.int32(base))
                 loss_hist.append(chunk_losses)
                 base += n
                 if base % args.log_every == 0:
@@ -513,6 +541,16 @@ def main(argv=None):
                          'bilinearly (+-25 deg) — the overfit control '
                          'for small on-disk datasets '
                          '(data/pipeline.py:augment_crop_geom)')
+    ap.add_argument('--augment-photo', action='store_true',
+                    help='train-time photometric robustness augmentation '
+                         'on the crop imagery: per-sample exposure '
+                         'gain/offset + gaussian-noise-or-motion-blur '
+                         'coin (data/augment.py:perturb_capture — the '
+                         'same transform cli/eval_synthetic --perturb '
+                         'probes with).  The reference\'s photometric '
+                         'story was ColorJitter only '
+                         '(data_load4.py:78-83), which cannot teach '
+                         'noise/blur invariance')
     ap.add_argument('--eval-every', type=int, default=None,
                     help='epochs between SPEED evals before --eval-after '
                          '(default 5; every epoch after).  Per-epoch '

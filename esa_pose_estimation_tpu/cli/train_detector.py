@@ -66,13 +66,8 @@ def perturb_frames(key: jax.Array, frames: jnp.ndarray) -> jnp.ndarray:
     this transform is the COCO-pretraining substitute (VERDICT r3
     missing #2).
     """
-    from esa_pose_estimation_tpu.data.augment import random_add_noise
-    kg, ko, kn = jax.random.split(key, 3)
-    b = frames.shape[0]
-    gain = jax.random.uniform(kg, (b, 1, 1), minval=0.6, maxval=1.4)
-    off = jax.random.uniform(ko, (b, 1, 1), minval=-25.0, maxval=25.0)
-    f = jnp.clip(frames.astype(jnp.float32) * gain + off, 0.0, 255.0)
-    return random_add_noise(kn, f)
+    from esa_pose_estimation_tpu.data.augment import perturb_capture
+    return perturb_capture(key, frames)
 
 
 def create_detector_state(model, key, lr: float, input_hw: tuple[int, int],

@@ -569,6 +569,33 @@ def random_add_noise(key: jax.Array, images: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(sel, noisy, blurred)
 
 
+def perturb_capture(key: jax.Array, images: jnp.ndarray,
+                    gain_range: tuple[float, float] = (0.6, 1.4),
+                    offset_range: tuple[float, float] = (-25.0, 25.0)
+                    ) -> jnp.ndarray:
+    """Capture-condition perturbation on [0, 255] imagery (B, H, W[, C]):
+    per-sample exposure shift (gain x offset) followed by the reference
+    augmentation library's gaussian-noise-or-motion-blur coin
+    (:func:`random_add_noise`, the batched augmentation.py:207-233 port).
+
+    Shared by detector robustness training/eval (cli/train_detector
+    --augment), keypoint-net photometric augmentation (cli/train
+    --augment-photo) and the perturbed keypoint eval (cli/eval_synthetic
+    --perturb): the same transform is the training regularizer AND the
+    robustness probe, so augmented-vs-clean comparisons are apples to
+    apples.
+    """
+    kg, ko, kn = jax.random.split(key, 3)
+    b = images.shape[0]
+    ax = (b,) + (1,) * (images.ndim - 1)
+    gain = jax.random.uniform(kg, ax, minval=gain_range[0],
+                              maxval=gain_range[1])
+    off = jax.random.uniform(ko, ax, minval=offset_range[0],
+                             maxval=offset_range[1])
+    f = jnp.clip(images.astype(jnp.float32) * gain + off, 0.0, 255.0)
+    return random_add_noise(kn, f)
+
+
 def random_crop_resize_v2(key: jax.Array, images: jnp.ndarray,
                           masks: jnp.ndarray, keypoints: jnp.ndarray,
                           out_h: int, out_w: int,

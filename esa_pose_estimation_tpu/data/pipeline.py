@@ -63,13 +63,15 @@ def augment_crop_geom(key: jax.Array, crops: jnp.ndarray,
     return crops, kp_crop
 
 
-@partial(jax.jit, static_argnames=('crop_size', 'train', 'augment_geom'))
+@partial(jax.jit, static_argnames=('crop_size', 'train', 'augment_geom',
+                                   'augment_photo'))
 def build_batch(frames: jnp.ndarray, bboxes: jnp.ndarray,
                 keypoints_2d: jnp.ndarray, key: jax.Array,
                 crop_size: int = 128, sigma: float = 2.0,
                 train: bool = True, norm_mean: float = 0.449,
                 norm_std: float = 0.229,
-                augment_geom: bool = False) -> dict[str, jnp.ndarray]:
+                augment_geom: bool = False,
+                augment_photo: bool = False) -> dict[str, jnp.ndarray]:
     """frames (B, H, W) [0,255]; bboxes (B, 4); keypoints_2d (B, K, 2)
     full-frame -> {'image', 'heatmaps', 'weights', 'rate', 'origin',
     'keypoints_crop'} (NHWC).
@@ -86,6 +88,9 @@ def build_batch(frames: jnp.ndarray, bboxes: jnp.ndarray,
         crops, kp_crop = augment_crop_geom(
             jax.random.fold_in(key, 23), crops, kp_crop)
     hm, wm = heatmap_ops.render_targets(kp_crop, crop_size, crop_size, sigma)
+    if train and augment_photo:
+        from esa_pose_estimation_tpu.data.augment import perturb_capture
+        crops = perturb_capture(jax.random.fold_in(key, 29), crops)
     if train:
         crops = color_jitter(key, crops)
     image = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]
@@ -99,13 +104,15 @@ def build_batch(frames: jnp.ndarray, bboxes: jnp.ndarray,
     }
 
 
-@partial(jax.jit, static_argnames=('train', 'augment_geom'))
+@partial(jax.jit, static_argnames=('train', 'augment_geom',
+                                   'augment_photo'))
 def build_batch_from_crops(crops: jnp.ndarray, rates: jnp.ndarray,
                            origins: jnp.ndarray, keypoints_2d: jnp.ndarray,
                            key: jax.Array, sigma: float = 2.0,
                            train: bool = True, norm_mean: float = 0.449,
                            norm_std: float = 0.229,
-                           augment_geom: bool = False
+                           augment_geom: bool = False,
+                           augment_photo: bool = False
                            ) -> dict[str, jnp.ndarray]:
     """Target build for HOST-cropped batches (the native loader's
     crop_size mode: its C++ workers already ran the detector-box ->
@@ -125,6 +132,9 @@ def build_batch_from_crops(crops: jnp.ndarray, rates: jnp.ndarray,
         crops, kp_crop = augment_crop_geom(
             jax.random.fold_in(key, 23), crops, kp_crop)
     hm, wm = heatmap_ops.render_targets(kp_crop, s, s, sigma)
+    if train and augment_photo:
+        from esa_pose_estimation_tpu.data.augment import perturb_capture
+        crops = perturb_capture(jax.random.fold_in(key, 29), crops)
     if train:
         crops = color_jitter(key, crops)
     image = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]

@@ -129,13 +129,15 @@ def make_sample(key: jax.Array, points_3d: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=('batch_size', 'crop_size', 'sigma',
                                    'render', 'with_frames', 'height',
-                                   'width', 'augment_geom'))
+                                   'width', 'augment_geom',
+                                   'augment_photo'))
 def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
                crop_size: int = 128, sigma: float = 2.0,
                render: bool = True,
                with_frames: bool = False,
                height: int = 1200, width: int = 1920,
-               augment_geom: bool = False
+               augment_geom: bool = False,
+               augment_photo: bool = False
                ) -> dict[str, jnp.ndarray]:
     """A full training batch: crops + heatmap/weight targets (NHWC).
 
@@ -201,6 +203,15 @@ def make_batch(key: jax.Array, batch_size: int, points_3d: jnp.ndarray,
         ) * 255.0
     else:
         crops = jnp.zeros((batch_size, crop_size, crop_size), jnp.float32)
+    if augment_photo:
+        # Photometric robustness augmentation on the [0,255] crop
+        # imagery: exposure gain/offset + the noise-or-blur coin (the
+        # reference's entire photometric story was crop-level
+        # ColorJitter, data_load4.py:78-83 — which cannot teach
+        # noise/blur invariance; see cli/eval_synthetic --perturb for
+        # the measured collapse of a clean-trained net)
+        from esa_pose_estimation_tpu.data.augment import perturb_capture
+        crops = perturb_capture(jax.random.fold_in(key, 29), crops)
     image = crop_ops.normalize(crops)[..., None]           # (B, S, S, 1)
     batch = {
         'image': image,

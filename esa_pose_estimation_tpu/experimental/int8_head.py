@@ -47,8 +47,15 @@ def quantize_weights_per_channel(w: jnp.ndarray
 
 def quantize_activations(x: jnp.ndarray
                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """NHWC activations -> (int8, f32 scalar scale), dynamic per tensor."""
-    amax = jnp.max(jnp.abs(x))
+    """NHWC activations -> (int8, f32 per-SAMPLE scale (N,1,1,1)).
+
+    Per-sample (not per-batch) dynamic scale: one outlier frame must not
+    coarsen every other frame's quantization, and a frame's served
+    output must not depend on which batch it rode in — a batch-global
+    scale makes the accuracy gate batch-size/ordering dependent and
+    serving non-reproducible across batchings.
+    """
+    amax = jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
     scale = jnp.maximum(amax, 1e-12) / 127.0
     x_q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
     return x_q, scale

@@ -113,6 +113,45 @@ def barrier(name: str, timeout_ms: int = 1_800_000) -> None:
         client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
 
 
+_align_counter = 0
+
+
+def compile_aligned(jitted, *example_args):
+    """AOT-compile a sharded program on every controller, THEN barrier.
+
+    Returns the compiled executable (multi-process) or ``jitted``
+    unchanged (single-process, where no alignment is needed).
+
+    Why: collective communicator setup has a bounded cross-process
+    rendezvous — XLA-CPU's Gloo backend hardcodes a 30 s key-exchange
+    deadline at context creation, and TPU pods have an analogous
+    first-collective rendezvous.  A barrier placed BEFORE the first
+    jitted call does not help when the compile itself is slow and
+    unevenly scheduled (two controllers timesharing one core can finish
+    minutes apart), because the communicator is created at the first
+    collective *launch*, which follows the compile.  Splitting compile
+    from launch fixes it structurally: ``lower().compile()`` builds the
+    executable without launching anything, the barrier then aligns all
+    controllers, and the first launch follows within milliseconds on
+    every process — compile-time skew can no longer eat the rendezvous
+    deadline.
+
+    The caller must invoke this with the same program in the same order
+    on every controller (barrier names are derived from a per-process
+    counter) and keep using the returned executable — calling the
+    original ``jitted`` again would recompile.  Inputs at call time must
+    match ``example_args``'s shapes/dtypes/shardings (static-shape
+    training loops satisfy this by construction).
+    """
+    if jax.process_count() == 1:
+        return jitted
+    global _align_counter
+    _align_counter += 1
+    compiled = jitted.lower(*example_args).compile()
+    barrier(f'compile_aligned_{_align_counter}')
+    return compiled
+
+
 def is_primary() -> bool:
     """True on the process that owns logging/checkpoint side effects."""
     return jax.process_index() == 0

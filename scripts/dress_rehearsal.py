@@ -36,7 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+jax.config.update('jax_compilation_cache_dir',
+                  os.environ.get('EPT_COMPILE_CACHE',
+                                 os.path.join(_REPO_ROOT, '.jax_cache')))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 
@@ -65,6 +68,15 @@ def main(argv=None):
                          'of on the C++ loader threads (host-crop is the '
                          'production default: 65 KB crops, not 2.3 MB '
                          'frames, over the host-device link)')
+    ap.add_argument('--no-augment-geom', dest='augment_geom',
+                    action='store_false',
+                    help='train WITHOUT crop-space flip/rotation '
+                         'augmentation (run-1 regime: at rehearsal scale '
+                         '— a few hundred fixed frames x many epochs — '
+                         'this memorizes, held-out 0.337 vs 0.0105)')
+    ap.add_argument('--eval-every', type=int, default=5,
+                    help='epochs between held-out SPEED evals (disk evals '
+                         'dominate wall-clock on small shard datasets)')
     args = ap.parse_args(argv)
 
     from esa_pose_estimation_tpu.cli import evaluate as eval_cli
@@ -96,12 +108,20 @@ def main(argv=None):
         timing['shard_s'] = round(time.time() - t0, 1)
 
     t0 = time.time()
+    # Held-out per-epoch eval + geometric augmentation are the run-2
+    # production regime (QUALITY.md §7): without them the per-epoch eval
+    # reads the train shard itself and the best gates happily keep
+    # memorized weights (run 1: train-split 0.0029 vs held-out 0.337).
     train_cli.main([
         '--workdir', args.workdir, '--epochs', str(args.epochs),
         '--batch-size', str(args.batch_size),
         '--train-shard', shard, '--loader-threads', '8',
+        '--test-pkl', os.path.join(args.root, 'test.pkl'),
+        '--image-root', os.path.join(args.root, 'images', 'test'),
+        '--eval-every', str(args.eval_every),
         '--no-panels', '--log-every', str(args.log_every)]
-        + (['--host-crop'] if args.host_crop else []))
+        + (['--host-crop'] if args.host_crop else [])
+        + (['--augment-geom'] if args.augment_geom else []))
     timing['train_s'] = round(time.time() - t0, 1)
 
     t0 = time.time()
