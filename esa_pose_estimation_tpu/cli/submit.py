@@ -23,7 +23,7 @@ import numpy as np
 from esa_pose_estimation_tpu.data import speed as speed_data
 from esa_pose_estimation_tpu.eval.submission import SubmissionWriter
 from esa_pose_estimation_tpu.models import HRNet
-from esa_pose_estimation_tpu.pipeline import infer_poses
+from esa_pose_estimation_tpu.pipeline import make_jitted_pipeline
 from esa_pose_estimation_tpu.train import state as state_mod
 from esa_pose_estimation_tpu.train.checkpoint import CheckpointManager
 from esa_pose_estimation_tpu.utils import config as cfg_mod
@@ -35,15 +35,18 @@ def run_partition(model, variables, records, points_3d, writer, real, key,
     loader = speed_data.BatchLoader(records,
                                     min(batch_size, len(records)),
                                     shuffle=False, drop_last=False)
+    # One jitted program per batch shape (eagerly dispatching every
+    # intermediate op of the inference chain was the dominant cost of a
+    # submission pass — the same eval wall cli/evaluate had; a ragged
+    # final batch costs one extra compile, which the persistent cache
+    # absorbs across runs).
+    run = make_jitted_pipeline(model, points_3d, crop_size=crop_size,
+                               conf_threshold=0.8, min_keypoints=24,
+                               norm_mean=norm_mean, crop_rule=crop_rule,
+                               flip_tta=flip_tta)
     for i, batch in enumerate(loader):
-        out = infer_poses(model, variables,
-                          jnp.asarray(batch['frame']),
-                          jnp.asarray(batch['bbox']),
-                          points_3d, jax.random.fold_in(key, i),
-                          crop_size=crop_size,
-                          conf_threshold=0.8, min_keypoints=24,
-                          norm_mean=norm_mean, crop_rule=crop_rule,
-                          flip_tta=flip_tta)
+        out = run(variables, jnp.asarray(batch['frame']),
+                  jnp.asarray(batch['bbox']), jax.random.fold_in(key, i))
         writer.append_batch(batch['name'], np.asarray(out.quat),
                             np.asarray(out.trans), real=real)
 

@@ -52,25 +52,37 @@ def evaluate(model, variables, eval_batches, points_3d, key,
              n_panels: int = 4):
     """SPEED-score evaluation loop (demo.py:79-369 parity, batched).
 
+    ``eval_batches`` is either an iterable of frame-carrying batches
+    (decoded + cropped + eagerly inferred every call — the original
+    route) or an :class:`eval.eval_cache.EvalCache`, whose device-
+    resident crops and jitted inference tail make repeat evals ~decode-
+    free and single-dispatch (the production mode for in-train held-out
+    evals, where the split is fixed and the weights change per epoch).
+
     ``panel_dir``: when set, the first ``n_panels`` frames of the first
     batch are rendered as overlay PNGs (frame + pred/gt keypoints + box +
     heatmap composite) under that directory — the Recorder image-panel
     role (lib/utils/net_utils.py:174-239), referenced from the caller's
     JSONL eval event via the returned ``panel_dir`` key.
     """
+    from esa_pose_estimation_tpu.eval.eval_cache import EvalCache
+    cache = eval_batches if isinstance(eval_batches, EvalCache) else None
     score_t = AverageMeter()
     score_r = AverageMeter()
     pix_err = AverageMeter()
     n_bad = 0
     panels_written = None
-    for i, batch in enumerate(eval_batches):
-        out = infer_poses(model, variables,
-                          jnp.asarray(batch['frame']),
-                          jnp.asarray(batch['bbox']),
-                          points_3d, jax.random.fold_in(key, i),
-                          crop_size=crop_size, conf_threshold=0.6,
-                          min_keypoints=0, norm_mean=norm_mean,
-                          norm_std=norm_std)
+    for i, batch in enumerate(cache.batches if cache else eval_batches):
+        if cache:
+            out = cache.infer(variables, batch, jax.random.fold_in(key, i))
+        else:
+            out = infer_poses(model, variables,
+                              jnp.asarray(batch['frame']),
+                              jnp.asarray(batch['bbox']),
+                              points_3d, jax.random.fold_in(key, i),
+                              crop_size=crop_size, conf_threshold=0.6,
+                              min_keypoints=0, norm_mean=norm_mean,
+                              norm_std=norm_std)
         scores = speed_score_from_matrices(
             out.R, out.trans, jnp.asarray(batch['quat']),
             jnp.asarray(batch['trans']))
@@ -293,6 +305,7 @@ def train(args) -> dict:
     # aligned executable after the first step.
     step_exec = step_fn
     need_align = n_proc > 1
+    eval_cache = None      # built at the first eval epoch (split is fixed)
     for epoch in range(begin_epoch, cfg.num_epochs):
         t0 = time.time()
         losses = AverageMeter()
@@ -423,42 +436,52 @@ def train(args) -> dict:
                 if not args.eval_panels:
                     return None
                 return os.path.join(workdir, 'panels', f'epoch{ep + 1:03d}')
-            if use_shard and test_records is None:
-                import itertools
+            if eval_cache is None:
+                # The held-out split is FIXED across epochs, so decode,
+                # crop, and stage it ONCE (device-resident 65 KB crops;
+                # jitted inference tail) — repeat evals then cost one
+                # dispatch per batch instead of a per-epoch JPEG decode
+                # + full-frame H2D + eager per-op round-trips (the
+                # ~25 s/64-frame eval wall, VERDICT r4 weak #4).
+                from esa_pose_estimation_tpu.eval.eval_cache import (
+                    EvalCache)
+                if use_shard and test_records is None:
+                    import itertools
 
-                from esa_pose_estimation_tpu.data.native_loader import (
-                    NativeBatchLoader)
-                eval_loader = NativeBatchLoader(
-                    args.train_shard, cfg.batch_size,
-                    n_threads=args.loader_threads, shuffle=False)
-                result = evaluate(model, variables,
-                                  itertools.islice(iter(eval_loader), 4),
-                                  points_3d, jax.random.fold_in(key, 777),
-                                  cfg.crop_size, norm_mean=norm_mean,
-                                  panel_dir=panel_dir(epoch))
-                eval_loader.close()
-            elif use_real:
-                eval_loader = speed_data.BatchLoader(
-                    test_records, min(cfg.batch_size, len(test_records)),
-                    shuffle=False)
-                result = evaluate(model, variables, eval_loader, points_3d,
-                                  jax.random.fold_in(key, 777),
-                                  cfg.crop_size, norm_mean=norm_mean,
-                                  panel_dir=panel_dir(epoch))
-            else:
-                # frame-carrying synthetic batches: the eval drives the
-                # full frames -> crop -> heatmap -> pose serving path on
-                # the same samples that built the training-style targets.
-                eval_batches = [
-                    synthetic.make_batch(
-                        jax.random.fold_in(key, 9000 + j), cfg.batch_size,
-                        points_3d, crop_size=cfg.crop_size,
-                        with_frames=True)
-                    for j in range(4)]
-                result = evaluate(model, variables, eval_batches, points_3d,
-                                  jax.random.fold_in(key, 777),
-                                  cfg.crop_size, norm_mean=norm_mean,
-                                  panel_dir=panel_dir(epoch))
+                    from esa_pose_estimation_tpu.data.native_loader import (
+                        NativeBatchLoader)
+                    eval_loader = NativeBatchLoader(
+                        args.train_shard, cfg.batch_size,
+                        n_threads=args.loader_threads, shuffle=False)
+                    src = itertools.islice(iter(eval_loader), 4)
+                elif use_real:
+                    eval_loader = None
+                    src = speed_data.BatchLoader(
+                        test_records,
+                        min(cfg.batch_size, len(test_records)),
+                        shuffle=False)
+                else:
+                    # frame-carrying synthetic batches (fixed keys ->
+                    # the same held-out frames every eval): drives the
+                    # full frames -> crop -> heatmap -> pose serving
+                    # path on the samples that built training targets.
+                    eval_loader = None
+                    src = [
+                        synthetic.make_batch(
+                            jax.random.fold_in(key, 9000 + j),
+                            cfg.batch_size, points_3d,
+                            crop_size=cfg.crop_size, with_frames=True)
+                        for j in range(4)]
+                eval_cache = EvalCache(model, src, points_3d,
+                                       cfg.crop_size, norm_mean=norm_mean)
+                if use_shard and test_records is None:
+                    eval_loader.close()
+                events.log('eval_cache', frames=eval_cache.n_frames,
+                           **eval_cache.timing)
+            result = evaluate(model, variables, eval_cache, points_3d,
+                              jax.random.fold_in(key, 777),
+                              cfg.crop_size, norm_mean=norm_mean,
+                              panel_dir=panel_dir(epoch))
             best = ckpt.save_rolling(st, epoch,
                                      score_tran=result['score_t'],
                                      score_rotate=result['score_r'],

@@ -71,14 +71,48 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
     'val' = ESAValDataSet submission rule without square-equalization
     (data_load_val.py:125-157).
     """
-    if K is None:
-        K = jnp.asarray(camera.SPEED_K, jnp.float32)
     if crop_rule not in ('train', 'val'):
         raise ValueError(f'unknown crop_rule {crop_rule!r}')
     crops, rates, origins = crop_ops.crop_resize(
         frames, bboxes, crop_size,
         img_w=frames.shape[2], img_h=frames.shape[1],
         force_square=crop_rule == 'train')
+    return infer_poses_from_crops(
+        model, variables, crops, rates, origins, points_3d, key, K=K,
+        conf_threshold=conf_threshold, min_keypoints=min_keypoints,
+        n_hypotheses=n_hypotheses, sample_size=sample_size,
+        lm_iters=lm_iters, norm_mean=norm_mean, norm_std=norm_std,
+        disambiguate=disambiguate, flip_tta=flip_tta,
+        mirror_evidence=mirror_evidence)
+
+
+def infer_poses_from_crops(model, variables, crops: jnp.ndarray,
+                           rates: jnp.ndarray, origins: jnp.ndarray,
+                           points_3d: jnp.ndarray, key: jax.Array,
+                           K: jnp.ndarray | None = None,
+                           conf_threshold: float = 0.6,
+                           min_keypoints: int = 24,
+                           n_hypotheses: int = 32,
+                           sample_size: int = 6,
+                           lm_iters: int = 10,
+                           norm_mean: float = 0.449,
+                           norm_std: float = 0.229,
+                           disambiguate: bool = True,
+                           flip_tta: bool = False,
+                           mirror_evidence: str = 'heatmap') -> PoseOutput:
+    """The serving tail from already-cropped imagery: normalize -> HRNet
+    -> decode -> select -> uncrop -> RANSAC-EPnP -> dual-LM.
+
+    crops (B, S, S) [0, 255]; rates (B,); origins (B, 2) — the outputs of
+    ``ops.crop.crop_resize`` (or the C++ loader's host-crop mode).  The
+    crop stage is separable because everything downstream only needs the
+    crop imagery plus the (rate, origin) uncrop transform; callers with a
+    FIXED evaluation split exploit this by cropping once and re-running
+    only the tail every epoch (cli/train.py:EvalCache — the crop cache
+    also cuts per-eval H2D from 2.3 MB/frame to 65 KB/frame).
+    """
+    if K is None:
+        K = jnp.asarray(camera.SPEED_K, jnp.float32)
     x = crop_ops.normalize(crops, norm_mean, norm_std)[..., None]
     hm = model.apply(variables, x, train=False)           # (B, S, S, K)
     if flip_tta:
@@ -93,7 +127,7 @@ def infer_poses(model, variables, frames: jnp.ndarray, bboxes: jnp.ndarray,
                                     min_count=min_keypoints)
     uncropped = (coords / rates[:, None, None]
                  + origins[:, None, :].astype(jnp.float32))
-    p3 = jnp.broadcast_to(points_3d, (frames.shape[0],) + points_3d.shape)
+    p3 = jnp.broadcast_to(points_3d, (crops.shape[0],) + points_3d.shape)
     init = pnp_mod.ransac_epnp(p3, uncropped, K, key, valid=sel,
                                n_hypotheses=n_hypotheses,
                                sample_size=sample_size, lm_iters=lm_iters)

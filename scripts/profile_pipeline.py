@@ -106,7 +106,14 @@ def main() -> None:
     ap.add_argument('--iters', type=int, default=3)
     ap.add_argument('--log-dir', default='/tmp/ept_profile')
     ap.add_argument('--analyze-only', action='store_true')
+    ap.add_argument('--int8', action='store_true',
+                    help='trace the int8-head serving program instead of '
+                         'bf16 (the attribution behind the QUALITY int8 '
+                         'verdict)')
     args = ap.parse_args()
+    if args.int8:
+        from esa_pose_estimation_tpu.models import layers as _layers
+        _layers.INT8_SERVING = True
     if not args.analyze_only:
         run_trace(args.batch, args.iters, args.log_dir)
     analyze(args.log_dir, args.iters, args.batch)
