@@ -196,6 +196,84 @@ def int8_experiment():
     return out
 
 
+def int8_matmul_experiment():
+    """Does XLA engage v5e's 2x int8 MXU rate for DOT_GENERAL (vs the
+    conv probe's negative)?  Times (M, K) x (K, N) at the head-conv-
+    equivalent contraction (K=N=480, M=batch*HW tile) in bf16 vs
+    s8xs8->s32, plus a 9-shifted-matmul decomposition of the 3x3 conv
+    (conv = sum of 9 shifted 1x1 convs, each an int8 matmul): if int8
+    dot wins 2x, the head conv can route through matmuls instead of
+    XLA's convolution."""
+    key = jax.random.PRNGKey(0)
+    m, k, n = 65536, 480, 480
+    a = jax.random.normal(key, (m, k), jnp.float32)
+    b = 0.05 * jax.random.normal(jax.random.fold_in(key, 1), (k, n),
+                                 jnp.float32)
+    a8 = jnp.clip(jnp.round(a * 20), -127, 127).astype(jnp.int8)
+    b8 = jnp.clip(jnp.round(b * 500), -127, 127).astype(jnp.int8)
+
+    def mm_bf16(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def mm_s8(x, y):
+        return jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    flops = 2 * m * k * n
+
+    def best_ms(fn, *args):
+        return min(time_fn(fn, *args, iters=20) for _ in range(3))
+
+    out = {}
+    for name, fn, args in (
+            ('mm_bf16', jax.jit(mm_bf16),
+             (a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))),
+            ('mm_s8', jax.jit(mm_s8), (a8, b8))):
+        ms = best_ms(fn, *args)
+        out[name] = {'ms': round(ms, 3),
+                     'tflops': round(flops / (ms * 1e-3) / 1e12, 1),
+                     'mfu_vs_bf16_peak': round(
+                         flops / (ms * 1e-3) / V5E_PEAK_FLOPS, 3)}
+        print(json.dumps({name: out[name]}), flush=True)
+
+    # 9-shifted-matmul conv decomposition at the real head shape
+    batch, hw, c = 256, 64, 480
+    x8 = jnp.clip(jnp.round(jax.random.normal(
+        jax.random.fold_in(key, 2), (batch, hw, hw, c)) * 20),
+        -127, 127).astype(jnp.int8)
+    w8 = jnp.clip(jnp.round(0.05 * jax.random.normal(
+        jax.random.fold_in(key, 3), (3, 3, c, c)) * 500),
+        -127, 127).astype(jnp.int8)
+
+    def conv_via_mm(x, w):
+        acc = jnp.zeros((batch, hw, hw, c), jnp.int32)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        for dy in range(3):
+            for dx in range(3):
+                sh = jax.lax.dynamic_slice(
+                    xp, (0, dy, dx, 0), (batch, hw, hw, c))
+                acc = acc + jax.lax.dot_general(
+                    sh.reshape(-1, c), w[dy, dx],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).reshape(batch, hw, hw, c)
+        return acc
+
+    conv_flops = 2 * batch * hw * hw * 9 * c * c
+    ms = best_ms(jax.jit(conv_via_mm), x8, w8)
+    out['conv3x3_as_9_s8_matmuls'] = {
+        'ms': round(ms, 2),
+        'tflops': round(conv_flops / (ms * 1e-3) / 1e12, 1),
+        'mfu_vs_bf16_peak': round(
+            conv_flops / (ms * 1e-3) / V5E_PEAK_FLOPS, 3)}
+    print(json.dumps({'conv3x3_as_9_s8_matmuls':
+                      out['conv3x3_as_9_s8_matmuls']}), flush=True)
+    return out
+
+
 def main():
     import sys
     if '--chain' in sys.argv:
@@ -203,6 +281,9 @@ def main():
         return
     if '--int8' in sys.argv:
         print(json.dumps(int8_experiment()))
+        return
+    if '--int8-matmul' in sys.argv:
+        print(json.dumps(int8_matmul_experiment()))
         return
 
     from esa_pose_estimation_tpu.models import HRNet

@@ -316,3 +316,40 @@ class TestGeometricAugmentation:
                                       train=False)
         np.testing.assert_array_equal(np.asarray(ev_a['image']),
                                       np.asarray(ev_b['image']))
+
+
+class TestInferPosesFromCrops:
+    def test_tail_matches_full_pipeline_exactly(self):
+        """infer_poses == crop_resize + infer_poses_from_crops, exactly:
+        the crop stage was factored out (eval/eval_cache.py re-runs only
+        the tail every epoch), so the split must be a pure refactor."""
+        import jax
+
+        from esa_pose_estimation_tpu import pipeline as pl
+        from esa_pose_estimation_tpu.data import synthetic
+        from esa_pose_estimation_tpu.models import HRNet
+        from esa_pose_estimation_tpu.ops import crop as crop_ops
+        from esa_pose_estimation_tpu.utils import config as cfg_mod
+
+        model = HRNet(cfg_mod.hrnet_tiny())
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 32, 32, 1)), train=False)
+        pts = synthetic.spacecraft_points(6)
+        b = synthetic.make_batch(jax.random.PRNGKey(1), 3, pts,
+                                 crop_size=32, with_frames=True)
+        key = jax.random.PRNGKey(2)
+        full = pl.infer_poses(model, variables, b['frame'], b['bbox'], pts,
+                              key, crop_size=32, min_keypoints=0,
+                              n_hypotheses=8, lm_iters=3)
+        crops, rates, origins = crop_ops.crop_resize(b['frame'], b['bbox'],
+                                                     32)
+        tail = pl.infer_poses_from_crops(model, variables, crops, rates,
+                                         origins, pts, key,
+                                         min_keypoints=0, n_hypotheses=8,
+                                         lm_iters=3)
+        np.testing.assert_array_equal(np.asarray(full.quat),
+                                      np.asarray(tail.quat))
+        np.testing.assert_array_equal(np.asarray(full.trans),
+                                      np.asarray(tail.trans))
+        np.testing.assert_array_equal(np.asarray(full.keypoints_2d),
+                                      np.asarray(tail.keypoints_2d))
